@@ -1,0 +1,13 @@
+"""hspose_tpu — a TPU-native (JAX/XLA/Pallas/pjit) framework for category-level
+6D object pose + size estimation, with the full capabilities of HS-Pose (CVPR 2023).
+
+Not a port: typed config, pure functions with explicit PRNG/state threading, fixed
+shapes end-to-end, a single jitted train step, data parallelism over a
+``jax.sharding.Mesh``, and Pallas kernels for the hot ops (KNN, neighbor gather,
+chamfer distance).  See SURVEY.md for the structural map of the reference.
+"""
+
+from hspose_tpu.config import HSPoseConfig, default_config
+
+__version__ = "0.1.0"
+__all__ = ["HSPoseConfig", "default_config", "__version__"]

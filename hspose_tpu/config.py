@@ -1,0 +1,227 @@
+"""Typed configuration for hspose_tpu.
+
+The reference drives everything through ~70 mutable absl flags defined in
+``config/config.py:6-125`` and mutated at runtime (e.g. ``FLAGS.train = False`` in
+``evaluation/evaluate.py:39``).  The TPU-native rebuild replaces that with one frozen
+dataclass tree: values are threaded explicitly, train/eval is a call-time argument
+(never a global), and configs are hashable so they can be closed over by ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset paths and input pipeline (reference config/config.py:6-28,43-44)."""
+
+    num_categories: int = 6
+    dataset: str = "Real"  # 'CAMERA', 'Real', or 'CAMERA+Real'
+    dataset_dir: str = "./data/NOCS"
+    detection_dir: str = "./data/segmentation_results"
+    per_obj: str = ""
+
+    # dynamic zoom-in crop augmentation (reference config/config.py:13-16)
+    dzi_pad_scale: float = 1.5
+    dzi_type: str = "uniform"
+    dzi_scale_ratio: float = 0.25
+    dzi_shift_ratio: float = 0.25
+
+    img_size: int = 256  # cropped square ROI resolution
+
+    # 2D mask noise (reference config/config.py:22-23)
+    roi_mask_r: int = 3
+    roi_mask_pro: float = 0.5
+
+    # point selection (reference config/config.py:43-44)
+    num_points: int = 1028
+    sample_method: str = "basic"
+
+    # host pipeline
+    num_workers: int = 8
+    prefetch: int = 4
+
+
+@dataclass(frozen=True)
+class AugConfig:
+    """Batched on-device augmentation probabilities (reference config/config.py:24-28)."""
+
+    pc_pro: float = 0.2
+    pc_r: float = 0.2
+    rt_pro: float = 0.3
+    bb_pro: float = 0.3
+    bc_pro: float = 0.3  # box-cage, only bowl & mug
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Network dimensions (reference config/config.py:31-41)."""
+
+    feat_c_rot: int = 1286
+    rot_c: int = 4  # confidence (1) + axis (3)
+    feat_c_ts: int = 1289
+    ts_c: int = 6  # translation (3) + size (3)
+    feat_face: int = 768
+    face_recon_c: int = 30  # 6*3 normals + 6 distances + 6 confidences
+    gcn_sup_num: int = 7
+    gcn_n_num: int = 20
+    obj_c: int = 6
+    # TPU-specific knobs (no reference equivalent)
+    knn_impl: str = "xla"  # 'xla' | 'pallas'
+    compute_dtype: str = "float32"  # matmul dtype for the backbone
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Loss weights (reference config/config.py:64-93)."""
+
+    fsnet_loss_type: str = "l1"  # 'l1' or 'smoothl1'
+
+    rot_1_w: float = 8.0
+    rot_2_w: float = 8.0
+    rot_regular: float = 4.0
+    tran_w: float = 8.0
+    size_w: float = 8.0
+    recon_w: float = 8.0
+    r_con_w: float = 1.0
+
+    recon_n_w: float = 3.0
+    recon_d_w: float = 3.0
+    recon_v_w: float = 1.0
+    recon_s_w: float = 0.3
+    recon_f_w: float = 1.0
+    recon_bb_r_w: float = 1.0
+    recon_bb_t_w: float = 1.0
+    recon_bb_s_w: float = 1.0
+    recon_bb_self_w: float = 1.0
+
+    mask_w: float = 1.0
+
+    geo_p_w: float = 1.0
+    geo_s_w: float = 10.0
+    geo_f_w: float = 0.1
+
+    prop_pm_w: float = 2.0
+    prop_sym_w: float = 1.0
+    prop_r_reg_w: float = 1.0
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """Optimizer + schedule (reference config/config.py:96-110)."""
+
+    lr: float = 1e-4
+    lr_pose: float = 1.0
+    lr_scheduler_name: str = "flat_and_anneal"
+    anneal_method: str = "cosine"
+    anneal_point: float = 0.72
+    optimizer_type: str = "Ranger"
+    weight_decay: float = 0.0
+    warmup_factor: float = 0.001
+    warmup_iters: int = 1000
+    warmup_method: str = "linear"
+    gamma: float = 0.1
+    poly_power: float = 0.9
+    # Ranger internals (reference tools/torch_utils/solver/ranger2020.py:45-60)
+    betas: Tuple[float, float] = (0.95, 0.999)
+    eps: float = 1e-5
+    n_sma_threshold: int = 5
+    lookahead_k: int = 6
+    lookahead_alpha: float = 0.5
+    use_gc: bool = True
+    clip_grad_norm: float = 5.0
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training loop (reference config/config.py:47-59,113-120)."""
+
+    train_stage: str = "PoseNet_only"
+    seed: int = -1
+    batch_size: int = 16
+    total_epoch: int = 150
+    train_steps: int = 1500
+    accumulate: int = 1
+    save_every: int = 10
+    log_every: int = 100
+    model_save: str = "output/models"
+    resume: bool = False
+    resume_model: str = ""
+    resume_point: int = 0
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    """Evaluation (reference config/config.py:123-125)."""
+
+    eval_seed: int = -1
+    eval_inference_only: bool = False
+    # TPU rebuild: batch detection crops across images (reference runs per-image,
+    # evaluation/evaluate.py:79-119); this is the padded-crop batch size.
+    eval_batch: int = 64
+    # maximum detections padded per image in the batched harness
+    max_instances_per_image: int = 16
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Device mesh layout.  The reference is single-GPU (engine/train.py:23); the TPU
+    framework adds data parallelism over a jax.sharding.Mesh as its first-class
+    distributed feature (SURVEY.md §2.2)."""
+
+    dp: int = -1  # -1: use all available devices on the data axis
+    mesh_axis_name: str = "dp"
+
+
+@dataclass(frozen=True)
+class HSPoseConfig:
+    data: DataConfig = field(default_factory=DataConfig)
+    aug: AugConfig = field(default_factory=AugConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+
+    def replace(self, **kw) -> "HSPoseConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def default_config() -> HSPoseConfig:
+    return HSPoseConfig()
+
+
+def _apply_dotted(cfg: HSPoseConfig, dotted: str, value: str) -> HSPoseConfig:
+    """Apply one 'section.key=value' override with type coercion."""
+    section_name, _, key = dotted.partition(".")
+    if not key:
+        raise ValueError(f"override '{dotted}' must look like section.key")
+    section = getattr(cfg, section_name)
+    old = getattr(section, key)
+    if isinstance(old, bool):
+        new = value.lower() in ("1", "true", "yes")
+    elif isinstance(old, int):
+        new = int(value)
+    elif isinstance(old, float):
+        new = float(value)
+    elif isinstance(old, tuple):
+        new = tuple(type(old[0])(v) for v in value.split(","))
+    else:
+        new = value
+    return dataclasses.replace(cfg, **{section_name: dataclasses.replace(section, **{key: new})})
+
+
+def parse_overrides(argv, cfg: Optional[HSPoseConfig] = None) -> HSPoseConfig:
+    """Parse CLI args of the form ``section.key=value`` (also accepts ``--section.key=value``)."""
+    cfg = cfg or default_config()
+    for arg in argv:
+        arg = arg.lstrip("-")
+        if "=" not in arg:
+            raise ValueError(f"unrecognized argument '{arg}' (expected section.key=value)")
+        dotted, _, value = arg.partition("=")
+        cfg = _apply_dotted(cfg, dotted, value)
+    return cfg

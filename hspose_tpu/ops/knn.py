@@ -1,0 +1,89 @@
+"""K-nearest-neighbour search over point clouds / feature maps.
+
+This is the hot primitive of the hybrid-scope backbone: the reference computes an
+O(N²) pairwise-distance matrix + top-k **12 times per forward**
+(``network/fs_net_repo/gcn3d.py:15-24``; call census in SURVEY.md §3.1).  On TPU the
+B×N×N distance matrix is one big MXU matmul, and ``lax.top_k`` runs on-chip — so the
+XLA path is already strong.  A Pallas flash-style tiled variant (running top-k over
+key blocks, never materializing N² in HBM) lives in ``hspose_tpu.ops.pallas_knn`` for
+large N.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def pairwise_sq_dist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Squared euclidean distance matrix: a (..., N, D), b (..., M, D) -> (..., N, M).
+
+    Uses the ‖a‖² + ‖b‖² − 2a·b expansion so the inner product hits the MXU; the
+    matmul accumulates in f32 regardless of input dtype (critical for KNN accuracy,
+    SURVEY.md §7 'beware bf16 matmuls in the KNN distance').
+    """
+    inner = jax.lax.dot_general(
+        a, b,
+        dimension_numbers=(((a.ndim - 1,), (b.ndim - 1,)),
+                           (tuple(range(a.ndim - 2)), tuple(range(b.ndim - 2)))),
+        preferred_element_type=jnp.float32,
+        # full-f32 MXU passes: at default precision the distance error reaches the
+        # bf16 quantum (~1e-2), which reorders neighbours at the k boundary
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    a_sq = jnp.sum(a.astype(jnp.float32) ** 2, axis=-1)
+    b_sq = jnp.sum(b.astype(jnp.float32) ** 2, axis=-1)
+    return a_sq[..., :, None] + b_sq[..., None, :] - 2.0 * inner
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def knn_indices(points: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Indices of the k nearest neighbours, excluding the query point itself.
+
+    points: (B, N, D).  Returns int32 (B, N, k).
+
+    Matches ``gcn3d.get_neighbor_index`` (:15-24): top-(k+1) smallest distances, drop
+    the first column (self).  Ties therefore resolve in the same ordered-by-distance
+    way (top_k is stable on equal keys by index).
+    """
+    d = pairwise_sq_dist(points, points)
+    _, idx = jax.lax.top_k(-d, k + 1)
+    return idx[..., 1:]
+
+
+@jax.jit
+def nearest_index(target: jnp.ndarray, source: jnp.ndarray) -> jnp.ndarray:
+    """1-NN of each target point among source points: (B, N1, D), (B, N2, D) -> (B, N1).
+
+    Matches ``gcn3d.get_nearest_index`` (:27-36) (used to upsample pooled feature maps
+    back to the full cloud, FaceRecon.py:100-104).
+    """
+    d = pairwise_sq_dist(target, source)
+    return jnp.argmin(d, axis=-1).astype(jnp.int32)
+
+
+def gather_neighbors(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-neighbour features: features (B, N, C), idx (B, M, K) -> (B, M, K, C).
+
+    Equivalent of ``gcn3d.indexing_neighbor_new`` (:39-47).  jnp.take_along_axis
+    lowers to a single XLA gather, which the TPU backend tiles over HBM directly;
+    this is the memory-bandwidth hot spot (SURVEY.md §3.1 hot-loop 2).
+    """
+    B, M, K = idx.shape
+    flat = idx.reshape(B, M * K)
+    out = jnp.take_along_axis(features, flat[..., None], axis=1)
+    return out.reshape(B, M, K, features.shape[-1])
+
+
+def neighbor_directions_normalized(vertices: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Unit direction vectors to each neighbour (gcn3d.get_neighbor_direction_norm :49-59).
+
+    vertices (B, N, 3), idx (B, N, K) -> (B, N, K, 3).
+    Zero-length directions normalize to zero (torch F.normalize uses clamped norm).
+    """
+    neighbors = gather_neighbors(vertices, idx)
+    direction = neighbors - vertices[:, :, None, :]
+    norm = jnp.linalg.norm(direction, axis=-1, keepdims=True)
+    return direction / jnp.maximum(norm, 1e-12)
