@@ -7,6 +7,13 @@ shapes end-to-end, a single jitted train step, data parallelism over a
 chamfer distance).  See SURVEY.md for the structural map of the reference.
 """
 
+import jax as _jax
+
+# Full-precision matmuls by default: the pose math lives in 3×3 rotation algebra and
+# N² KNN distances where the bf16 default quantum (~1e-2) is catastrophic.  Hot model
+# layers opt into lower precision explicitly via their dtype attribute.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from hspose_tpu.config import HSPoseConfig, default_config
 
 __version__ = "0.1.0"

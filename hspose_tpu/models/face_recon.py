@@ -1,0 +1,137 @@
+"""FaceRecon: hybrid-scope backbone stack + train-only recon/face heads.
+
+Matches ``network/fs_net_repo/FaceRecon.py`` (:12-128): the 5-layer HS stack with two
+4× pools (1028→257→64), BN+ReLU between HS layers, global max feature, 1-NN upsample
+of the pooled maps, per-point fused feature
+[fm_0 128 | fm_1 128 | fm_2 256 | fm_3 256 | fm_4 512 | one-hot 6] = 1286-d, and the
+train-only conv1d/recon/face heads.
+
+TPU-first differences (same math): channel-last layout, vertex-KNN computed once per
+resolution and shared across the RF-P/ORL/pool consumers, PRNG-keyed pooling.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from hspose_tpu.config import ModelConfig
+from hspose_tpu.models.layers import HSLayer, HSLayerSurface, pool_layer, torch_linear_init
+from hspose_tpu.ops.knn import gather_neighbors, knn_indices, nearest_index
+
+
+def _bn(name: str, train: bool):
+    # torch BatchNorm1d defaults: eps 1e-5, momentum 0.1 (flax momentum = 0.9)
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                        name=name)
+
+
+class MLPHead(nn.Module):
+    """Stack of Dense→BN→ReLU blocks with a final projection.
+
+    ``final_act=True`` puts BN+ReLU on the output layer too (the reference's
+    conv1d_block ends in BN+ReLU, FaceRecon.py:38-48; its recon/face heads end in a
+    bare linear, :50-68).
+    """
+
+    hidden: tuple
+    out: int
+    final_act: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        for i, h in enumerate(self.hidden):
+            x = nn.Dense(h, kernel_init=torch_linear_init(x.shape[-1]),
+                         bias_init=torch_linear_init(x.shape[-1]), name=f"dense_{i}")(x)
+            x = _bn(f"bn_{i}", train)(x)
+            x = jax.nn.relu(x)
+        x = nn.Dense(self.out, kernel_init=torch_linear_init(x.shape[-1]),
+                     bias_init=torch_linear_init(x.shape[-1]), name="dense_out")(x)
+        if self.final_act:
+            x = jax.nn.relu(_bn("bn_out", train)(x))
+        return x
+
+
+class FaceRecon(nn.Module):
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, vertices: jnp.ndarray, cat_id: jnp.ndarray, train: bool):
+        """vertices (B, N, 3) centred points; cat_id (B,) int 0-based.
+
+        Returns (recon, face, feat): recon (B, N, 3) / face (B, N, 30) when
+        ``train`` else None, and feat (B, N, 1286).
+        """
+        cfg = self.cfg
+        k = cfg.gcn_n_num
+        B, N, _ = vertices.shape
+
+        one_hot = jax.nn.one_hot(cat_id.astype(jnp.int32).reshape(B), cfg.obj_c,
+                                 dtype=vertices.dtype)
+
+        # --- resolution 0: N points -------------------------------------------------
+        vert_idx_0 = knn_indices(vertices, k)  # shared by conv_0 RF-P, conv_0/1 ORL
+        fm_0 = HSLayerSurface(128, cfg.gcn_sup_num, name="conv_0")(
+            vertices, rf_idx=vert_idx_0, orl_idx=vert_idx_0)
+        fm_0 = jax.nn.relu(fm_0)
+
+        rf_1 = knn_indices(fm_0, k)  # RF-F on features (gcn3d.py:150-153)
+        fm_1 = HSLayer(128, 128, cfg.gcn_sup_num, name="conv_1")(
+            vertices, fm_0, rf_idx=rf_1, orl_idx=vert_idx_0)
+        fm_1 = jax.nn.relu(_bn("bn1", train)(fm_1))
+
+        pool_idx_0 = knn_indices(vertices, 4)
+        key1 = self.make_rng("pool")
+        v_pool_1, fm_pool_1 = pool_layer(key1, vertices, fm_1, pool_idx_0)
+
+        # --- resolution 1: N//4 points ----------------------------------------------
+        n1 = v_pool_1.shape[1]
+        k1 = min(k, n1 // 8)  # FaceRecon.py:92-95
+        vert_idx_1 = knn_indices(v_pool_1, k1)
+        rf_2 = knn_indices(fm_pool_1, k1)
+        fm_2 = HSLayer(128, 256, cfg.gcn_sup_num, name="conv_2")(
+            v_pool_1, fm_pool_1, rf_idx=rf_2, orl_idx=vert_idx_1)
+        fm_2 = jax.nn.relu(_bn("bn2", train)(fm_2))
+
+        rf_3 = knn_indices(fm_2, k1)
+        fm_3 = HSLayer(256, 256, cfg.gcn_sup_num, name="conv_3")(
+            v_pool_1, fm_2, rf_idx=rf_3, orl_idx=vert_idx_1)
+        fm_3 = jax.nn.relu(_bn("bn3", train)(fm_3))
+
+        pool_idx_1 = knn_indices(v_pool_1, 4)
+        key2 = self.make_rng("pool")
+        v_pool_2, fm_pool_2 = pool_layer(key2, v_pool_1, fm_3, pool_idx_1)
+
+        # --- resolution 2: N//16 points ---------------------------------------------
+        n2 = v_pool_2.shape[1]
+        k2 = min(k, n2 // 8)  # FaceRecon.py:97
+        vert_idx_2 = knn_indices(v_pool_2, k2)
+        rf_4 = knn_indices(fm_pool_2, k2)
+        fm_4 = HSLayer(256, 512, cfg.gcn_sup_num, name="conv_4")(
+            v_pool_2, fm_pool_2, rf_idx=rf_4, orl_idx=vert_idx_2)
+
+        f_global = jnp.max(fm_4, axis=1)  # (B, 512)
+
+        # 1-NN upsample back to N points (FaceRecon.py:100-104)
+        up_1 = nearest_index(vertices, v_pool_1)  # (B, N)
+        up_2 = nearest_index(vertices, v_pool_2)
+        fm_2_up = gather_neighbors(fm_2, up_1[..., None])[:, :, 0]
+        fm_3_up = gather_neighbors(fm_3, up_1[..., None])[:, :, 0]
+        fm_4_up = gather_neighbors(fm_4, up_2[..., None])[:, :, 0]
+
+        one_hot_tiled = jnp.broadcast_to(one_hot[:, None, :], (B, N, cfg.obj_c))
+        feat = jnp.concatenate([fm_0, fm_1, fm_2_up, fm_3_up, fm_4_up, one_hot_tiled],
+                               axis=-1)  # (B, N, 1286)
+
+        if not train:
+            return None, None, feat
+
+        # train-only heads (FaceRecon.py:37-68, 114-125)
+        conv1d_out = MLPHead((512, 512), 256, final_act=True, name="conv1d_block")(feat, train)
+        recon = MLPHead((128,), 3, name="recon_head")(conv1d_out, train)
+
+        f_global_tiled = jnp.broadcast_to(f_global[:, None, :], (B, N, f_global.shape[-1]))
+        face_in = jnp.concatenate([f_global_tiled, conv1d_out, vertices], axis=-1)  # 771
+        face = MLPHead((512, 256, 128), cfg.face_recon_c, name="face_head")(face_in, train)
+        return recon, face, feat

@@ -1,0 +1,61 @@
+"""Pose heads: rotation axis twins + translation/size.
+
+Matches ``network/fs_net_repo/PoseR.py`` (:10-70, Rot_green / Rot_red: identical
+Conv1d 1286→1024→256 | max-pool over points | 256→256→4 with dropout 0.2) and
+``PoseTs.py`` (:12-45, 1289→1024→256 | max-pool | 256→256→6 split t/s).
+
+Channel-last: Conv1d(k=1) ≡ Dense; the global max-pool over points happens between
+the second and third block exactly as in the reference.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from hspose_tpu.models.face_recon import _bn
+from hspose_tpu.models.layers import torch_linear_init
+
+
+class VecHead(nn.Module):
+    """Shared architecture of Rot_green / Rot_red / Pose_Ts."""
+
+    out_c: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        """x: (B, N, C) per-point features -> (B, out_c)."""
+        x = nn.Dense(1024, kernel_init=torch_linear_init(x.shape[-1]),
+                     bias_init=torch_linear_init(x.shape[-1]), name="conv1")(x)
+        x = jax.nn.relu(_bn("bn1", train)(x))
+        x = nn.Dense(256, kernel_init=torch_linear_init(1024),
+                     bias_init=torch_linear_init(1024), name="conv2")(x)
+        x = jax.nn.relu(_bn("bn2", train)(x))
+
+        x = jnp.max(x, axis=1, keepdims=True)  # global max over points (B, 1, 256)
+
+        x = nn.Dense(256, kernel_init=torch_linear_init(256),
+                     bias_init=torch_linear_init(256), name="conv3")(x)
+        x = jax.nn.relu(_bn("bn3", train)(x))
+        x = nn.Dropout(0.2, deterministic=not train)(x)
+        x = nn.Dense(self.out_c, kernel_init=torch_linear_init(256),
+                     bias_init=torch_linear_init(256), name="conv4")(x)
+        return x[:, 0, :]  # (B, out_c)
+
+
+class RotationHead(nn.Module):
+    """Rot_green / Rot_red: 4-vector = [confidence, axis(3)]."""
+
+    @nn.compact
+    def __call__(self, feat: jnp.ndarray, train: bool) -> jnp.ndarray:
+        return VecHead(4, name="vec")(feat, train)
+
+
+class PoseTsHead(nn.Module):
+    """Pose_Ts: 6-vector split into translation residual (3) and size residual (3)."""
+
+    @nn.compact
+    def __call__(self, feat: jnp.ndarray, train: bool):
+        x = VecHead(6, name="vec")(feat, train)
+        return x[:, 0:3], x[:, 3:6]

@@ -1,0 +1,172 @@
+"""Hybrid-scope 3D-GCN layers (flax.linen, channel-last).
+
+Re-designed from ``network/fs_net_repo/gcn3d.py`` for TPU:
+
+* all features are (B, N, C) so the per-point linear maps are plain MXU matmuls;
+* KNN index sets are computed once per resolution and *passed in* — the reference
+  recomputes the identical vertex-KNN inside every layer's ORL branch and again in
+  RF-P / pooling (12 O(N²) searches per forward, SURVEY.md §3.1); semantics are
+  unchanged because the inputs are identical;
+* the pooling subsample permutation takes an explicit PRNG key (reference:
+  global ``torch.randperm``, gcn3d.py:243).
+
+Reference layer semantics (gcn3d.py):
+  HSlayer_surface :61-113   HS_layer :116-187   get_receptive_fields :189-209
+  get_ORL_global :211-218   Pool_layer :220-246
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from hspose_tpu.ops.knn import (
+    gather_neighbors,
+    knn_indices,
+    neighbor_directions_normalized,
+)
+
+
+def torch_linear_init(fan_in: int):
+    """torch nn.Linear/Conv default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    bound = 1.0 / (fan_in ** 0.5)
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+def uniform_init(stdv: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -stdv, stdv)
+    return init
+
+
+def orl_global(feature: jnp.ndarray, orl_idx: jnp.ndarray) -> jnp.ndarray:
+    """Outlier-robust global feature (gcn3d.get_ORL_global :211-218).
+
+    KNN-max over each point's spatial neighbourhood, then a global mean broadcast
+    back to every point.  ``orl_idx`` are vertex-KNN indices (B, N, K).
+    """
+    neigh = gather_neighbors(feature, orl_idx)  # (B, N, K, C)
+    fmax = jnp.max(neigh, axis=2)  # (B, N, C)
+    return jnp.mean(fmax, axis=1, keepdims=True)  # (B, 1, C); broadcasting replaces repeat
+
+
+class HSLayerSurface(nn.Module):
+    """First layer: learned support directions over raw surface geometry.
+
+    Matches ``gcn3d.HSlayer_surface`` (:61-113): graph conv over RF-P receptive
+    fields + ORL global branch + STE (1×1-conv shortcut on xyz).
+    """
+
+    kernel_num: int
+    support_num: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, vertices: jnp.ndarray, rf_idx: jnp.ndarray,
+                 orl_idx: jnp.ndarray) -> jnp.ndarray:
+        s, k = self.support_num, self.kernel_num
+        directions = self.param("directions", uniform_init(1.0 / (s * k) ** 0.5), (3, s * k))
+        ste = nn.Dense(k, use_bias=False, name="STE_layer",
+                       kernel_init=torch_linear_init(3), dtype=self.dtype)
+        conv2 = nn.Dense(k, use_bias=False, name="conv2",
+                         kernel_init=torch_linear_init(2 * k), dtype=self.dtype)
+
+        f_ste = ste(vertices)
+
+        # graph conv (gcn3d.py:92-107)
+        rf_norm = neighbor_directions_normalized(vertices, rf_idx)  # (B, N, K, 3)
+        dir_norm = directions / jnp.maximum(
+            jnp.linalg.norm(directions, axis=0, keepdims=True), 1e-12)
+        theta = jnp.einsum("bnkd,ds->bnks", rf_norm, dir_norm.astype(rf_norm.dtype))
+        theta = jax.nn.relu(theta)
+        B, N, K = theta.shape[:3]
+        theta = theta.reshape(B, N, K, s, k)
+        feature = jnp.mean(jnp.max(theta, axis=2), axis=2)  # max over neighbours, mean over supports
+
+        # ORL (gcn3d.py:109-113)
+        f_global = orl_global(feature, orl_idx)
+        fused = jnp.concatenate(
+            [feature, jnp.broadcast_to(f_global, feature.shape)], axis=-1)
+        feature = conv2(fused) + feature
+        return feature + f_ste
+
+
+class HSLayer(nn.Module):
+    """General hybrid-scope layer (``gcn3d.HS_layer`` :116-187).
+
+    Receptive fields are built in *feature* space (RF-F) — callers pass ``rf_idx``
+    computed from the incoming feature map — while directions and the ORL branch use
+    vertex geometry.
+    """
+
+    in_channel: int
+    out_channel: int
+    support_num: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, vertices: jnp.ndarray, feature_map: jnp.ndarray,
+                 rf_idx: jnp.ndarray, orl_idx: jnp.ndarray) -> jnp.ndarray:
+        s, co = self.support_num, self.out_channel
+        stdv = 1.0 / (co * (s + 1)) ** 0.5
+        weights = self.param("weights", uniform_init(stdv), (self.in_channel, (s + 1) * co))
+        bias = self.param("bias", uniform_init(stdv), ((s + 1) * co,))
+        directions = self.param("directions", uniform_init(stdv), (3, s * co))
+        ste = nn.Dense(co, use_bias=False, name="STE_layer",
+                       kernel_init=torch_linear_init(self.in_channel), dtype=self.dtype)
+        conv2 = nn.Dense(co, use_bias=False, name="conv2",
+                         kernel_init=torch_linear_init(2 * co), dtype=self.dtype)
+
+        f_ste = ste(feature_map)
+
+        # graph conv (gcn3d.py:158-181)
+        rf_norm = neighbor_directions_normalized(vertices, rf_idx)  # (B, N, K, 3)
+        dir_norm = directions / jnp.maximum(
+            jnp.linalg.norm(directions, axis=0, keepdims=True), 1e-12)
+        theta = jax.nn.relu(
+            jnp.einsum("bnkd,ds->bnks", rf_norm, dir_norm.astype(rf_norm.dtype)))
+        # (B, N, K, s*co)
+
+        projected = feature_map.astype(self.dtype) @ weights.astype(self.dtype) + bias
+        feature_center = projected[..., :co]  # (B, N, co)
+        feature_support = projected[..., co:]  # (B, N, s*co)
+        feature_support = gather_neighbors(feature_support, rf_idx)  # (B, N, K, s*co)
+
+        activation = theta * feature_support
+        B, N, K = activation.shape[:3]
+        activation = activation.reshape(B, N, K, s, co)
+        activation = jnp.mean(jnp.max(activation, axis=2), axis=2)  # (B, N, co)
+        feature = feature_center + activation
+
+        # ORL (gcn3d.py:183-187)
+        f_global = orl_global(feature, orl_idx)
+        fused = jnp.concatenate(
+            [feature, jnp.broadcast_to(f_global, feature.shape)], axis=-1)
+        feature = conv2(fused) + feature
+        return feature + f_ste
+
+
+def pool_layer(key: jax.Array, vertices: jnp.ndarray, feature_map: jnp.ndarray,
+               pool_idx: jnp.ndarray, pooling_rate: int = 4):
+    """Neighbour-max pooling + shared random subsample (gcn3d.Pool_layer :220-246).
+
+    ``pool_idx``: vertex-KNN indices (B, N, 4).  The subsample permutation is drawn
+    once from ``key`` and shared across the batch, exactly like the reference's
+    ``randperm``.  Returns (vertices_pool, features_pool).
+    """
+    n = vertices.shape[1]
+    pooled = jnp.max(gather_neighbors(feature_map, pool_idx), axis=2)
+    pool_num = n // pooling_rate
+    sample = jax.random.permutation(key, n)[:pool_num]
+    return vertices[:, sample, :], pooled[:, sample, :]
+
+
+def receptive_field_indices(feat_or_verts: jnp.ndarray, k: int) -> jnp.ndarray:
+    """RF-P (point-distance) or RF-F (feature-distance) neighbour search
+    (gcn3d.get_receptive_fields :189-209) — just KNN on whichever space is given."""
+    return knn_indices(feat_or_verts, k)

@@ -1,0 +1,210 @@
+"""Golden parity of all four loss families against the reference torch code.
+
+Runs only when /root/reference is available.  The reference modules read absl FLAGS
+for the loss weights; we import its flag definitions and parse an empty argv, which
+leaves every weight at its default — matching our LossConfig defaults.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference not available")
+
+if os.path.isdir(REF):
+    sys.path.insert(0, REF)
+    import torch
+    import absl.flags as aflags
+
+    if not aflags.FLAGS.is_parsed():
+        import config.config  # noqa: F401  (defines the reference flags)
+        aflags.FLAGS(["test"])
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import jax.numpy as jnp
+    from hspose_tpu.config import LossConfig
+    return jnp, LossConfig()
+
+
+def _inputs(rng, bs=8, n=96):
+    A = rng.normal(size=(bs, 3, 3))
+    Q, _ = np.linalg.qr(A)
+    Q *= np.sign(np.linalg.det(Q))[:, None, None]
+    fn = rng.normal(size=(bs, n, 6, 3)).astype(np.float32)
+    fn /= np.linalg.norm(fn, axis=-1, keepdims=True)
+    g = rng.normal(size=(bs, 3)).astype(np.float32)
+    g /= np.linalg.norm(g, axis=-1, keepdims=True)
+    r = rng.normal(size=(bs, 3)).astype(np.float32)
+    r /= np.linalg.norm(r, axis=-1, keepdims=True)
+    sym = np.stack([
+        np.array([1, 1, 0, 1]), np.array([0, 1, 0, 0]), np.array([0, 0, 0, 0]),
+        np.array([1, 1, 1, 1]), np.array([1, 0, 0, 0]), np.array([0, 1, 0, 0]),
+        np.array([1, 1, 0, 1]), np.array([0, 0, 0, 0])], 0).astype(np.float32)[:bs]
+    return {
+        "points": rng.normal(scale=0.2, size=(bs, n, 3)).astype(np.float32),
+        "recon": rng.normal(scale=0.2, size=(bs, n, 3)).astype(np.float32),
+        "R": Q.astype(np.float32),
+        "t": rng.normal(scale=0.1, size=(bs, 3)).astype(np.float32),
+        "s": rng.normal(scale=0.05, size=(bs, 3)).astype(np.float32),
+        "mean_shape": (np.abs(rng.normal(size=(bs, 3))) * 0.2 + 0.1).astype(np.float32),
+        "green": g, "red": r,
+        "fg": rng.uniform(0.1, 1, bs).astype(np.float32),
+        "fr": rng.uniform(0.1, 1, bs).astype(np.float32),
+        "pT": rng.normal(scale=0.1, size=(bs, 3)).astype(np.float32),
+        "ps": rng.normal(scale=0.05, size=(bs, 3)).astype(np.float32),
+        "face_n": fn,
+        "face_d": rng.normal(scale=0.2, size=(bs, n, 6)).astype(np.float32),
+        "face_f": rng.uniform(0, 1, size=(bs, n, 6)).astype(np.float32),
+        "sym": sym,
+        "obj_id": np.array([0, 1, 2, 3, 4, 5, 1, 5], np.int64)[:bs],
+    }
+
+
+def test_fs_net_loss_parity(setup, rng):
+    jnp, cfg = setup
+    from losses.fs_net_loss import fs_net_loss as RefLoss
+    from hspose_tpu.losses import fs_net_loss as our_loss
+
+    x = _inputs(rng)
+    names = ["Rot1", "Rot2", "Rot1_cos", "Rot2_cos", "Rot_regular", "Tran", "Size",
+             "R_con"]
+    pred = {"Rot1": x["green"], "Rot2": x["red"], "Rot1_f": x["fg"], "Rot2_f": x["fr"],
+            "Tran": x["pT"], "Size": x["ps"], "Recon": x["recon"]}
+    gt_green = x["R"][:, :, 1].copy()
+    gt_red = x["R"][:, :, 0].copy()
+    gt = {"Rot1": gt_green, "Rot2": gt_red, "Tran": x["t"], "Size": x["s"],
+          "Recon": x["points"]}
+
+    tpred = {k: torch.tensor(v) for k, v in pred.items()}
+    tgt = {k: torch.tensor(v) for k, v in gt.items()}
+    ref = RefLoss()(names, tpred, tgt, torch.tensor(x["sym"]))
+
+    jpred = {k: jnp.array(v) for k, v in pred.items()}
+    jgt = {k: jnp.array(v) for k, v in gt.items()}
+    ours = our_loss(cfg, names, jpred, jgt, jnp.array(x["sym"]))
+
+    assert set(ours) == set(ref)
+    for k in ref:
+        np.testing.assert_allclose(float(ours[k]), float(ref[k]), rtol=2e-4, atol=2e-5,
+                                   err_msg=k)
+
+
+def test_geo_loss_parity(setup, rng):
+    jnp, cfg = setup
+    from losses.geometry_loss import geo_transform_loss as RefLoss
+    from hspose_tpu.losses import geo_transform_loss as our_loss
+
+    x = _inputs(rng)
+    pred = {"Rot1": x["green"], "Rot2": x["red"], "Tran": x["pT"], "Size": x["ps"],
+            "Rot1_f": x["fg"], "Rot2_f": x["fr"]}
+    gt = {"Points": x["points"], "R": x["R"], "T": x["t"], "Mean_shape": x["mean_shape"]}
+
+    ref = RefLoss()(["Geo_point"], {k: torch.tensor(v) for k, v in pred.items()},
+                    {k: torch.tensor(v) for k, v in gt.items()},
+                    torch.tensor(x["sym"]))
+    ours = our_loss(cfg, ["Geo_point"], {k: jnp.array(v) for k, v in pred.items()},
+                    {k: jnp.array(v) for k, v in gt.items()}, jnp.array(x["sym"]))
+    np.testing.assert_allclose(float(ours["geo_point"]), float(ref["geo_point"]),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_prop_loss_parity(setup, rng):
+    jnp, cfg = setup
+    from losses.prop_loss import prop_rot_loss as RefLoss
+    from hspose_tpu.losses import prop_rot_loss as our_loss
+
+    x = _inputs(rng)
+    pred = {"Recon": x["recon"], "Rot1": x["green"], "Rot2": x["red"], "Tran": x["pT"],
+            "Scale": x["ps"], "Rot1_f": x["fg"], "Rot2_f": x["fr"]}
+    gt = {"Points": x["points"], "R": x["R"], "T": x["t"], "Mean_shape": x["mean_shape"]}
+
+    ref = RefLoss()(["Prop_pm", "Prop_sym"],
+                    {k: torch.tensor(v) for k, v in pred.items()},
+                    {k: torch.tensor(v) for k, v in gt.items()},
+                    torch.tensor(x["sym"]))
+    ours = our_loss(cfg, ["Prop_pm", "Prop_sym"],
+                    {k: jnp.array(v) for k, v in pred.items()},
+                    {k: jnp.array(v) for k, v in gt.items()}, jnp.array(x["sym"]))
+    for k in ["Prop_pm", "Prop_sym_recon", "Prop_sym_rt"]:
+        np.testing.assert_allclose(float(ours[k]), float(ref[k]), rtol=5e-4, atol=2e-5,
+                                   err_msg=k)
+
+
+def test_recon_loss_parity(setup, rng):
+    jnp, cfg = setup
+    from losses.recon_loss import recon_6face_loss as RefLoss
+    from hspose_tpu.losses import recon_6face_loss as our_loss
+
+    x = _inputs(rng)
+    pred = {"F_n": x["face_n"], "F_d": x["face_d"], "F_c": x["face_f"],
+            "Rot1": x["green"], "Rot1_f": x["fg"], "Rot2": x["red"], "Rot2_f": x["fr"],
+            "Tran": x["pT"], "Size": x["ps"]}
+    gt = {"R": x["R"], "T": x["t"], "Size": x["s"], "Mean_shape": x["mean_shape"],
+          "Points": x["points"]}
+
+    ref = RefLoss()(["Per_point", "Point_voting"],
+                    {k: torch.tensor(v) for k, v in pred.items()},
+                    {k: torch.tensor(v) for k, v in gt.items()},
+                    torch.tensor(x["sym"]), torch.tensor(x["obj_id"]))
+    ours = our_loss(cfg, ["Per_point", "Point_voting"],
+                    {k: jnp.array(v) for k, v in pred.items()},
+                    {k: jnp.array(v) for k, v in gt.items()}, jnp.array(x["sym"]),
+                    jnp.array(x["obj_id"]))
+    keys = ["recon_per_p", "recon_p_f", "recon_point_vote", "recon_point_r",
+            "recon_point_t", "recon_point_s", "recon_point_self"]
+    assert set(ours) == set(keys)
+    for k in keys:
+        np.testing.assert_allclose(float(ours[k]), float(ref[k]), rtol=2e-3, atol=1e-4,
+                                   err_msg=k)
+
+
+def test_augmentation_bb_rt_parity(setup, rng):
+    jnp, _ = setup
+    from datasets.data_augmentation import (
+        defor_3D_bb_in_batch, defor_3D_pc, defor_3D_rt_in_batch)
+    from hspose_tpu.data import augment as our_aug
+    import jax
+
+    x = _inputs(rng)
+    bs = x["points"].shape[0]
+    aug_bb = rng.uniform(0.8, 1.2, size=(bs, 3)).astype(np.float32)
+    model_point = rng.normal(scale=0.2, size=(bs, 64, 3)).astype(np.float32)
+    full_s = x["s"] + x["mean_shape"]
+
+    t_pc, t_s, t_mp = defor_3D_bb_in_batch(
+        torch.tensor(x["points"]), torch.tensor(model_point), torch.tensor(x["R"]),
+        torch.tensor(x["t"]), torch.tensor(full_s), torch.tensor(x["sym"]),
+        torch.tensor(aug_bb))
+    j_pc, j_s, j_mp = our_aug.defor_bb(
+        jnp.array(x["points"]), jnp.array(model_point), jnp.array(x["R"]),
+        jnp.array(x["t"]), jnp.array(full_s), jnp.array(x["sym"]), jnp.array(aug_bb))
+    np.testing.assert_allclose(np.asarray(j_pc), t_pc.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(j_s), t_s.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(j_mp), t_mp.numpy(), atol=2e-5)
+
+    aug_rt_t = rng.normal(scale=0.02, size=(bs, 3)).astype(np.float32)
+    A = rng.normal(size=(bs, 3, 3))
+    Q, _ = np.linalg.qr(A)
+    aug_rt_r = (Q * np.sign(np.linalg.det(Q))[:, None, None]).astype(np.float32)
+    t_pc, t_R, t_t = defor_3D_rt_in_batch(
+        torch.tensor(x["points"]), torch.tensor(x["R"]), torch.tensor(x["t"]),
+        torch.tensor(aug_rt_t), torch.tensor(aug_rt_r))
+    j_pc, j_R, j_t = our_aug.defor_rt(
+        jnp.array(x["points"]), jnp.array(x["R"]), jnp.array(x["t"]),
+        jnp.array(aug_rt_t), jnp.array(aug_rt_r))
+    np.testing.assert_allclose(np.asarray(j_pc), t_pc.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(j_R), t_R.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(j_t), t_t.numpy(), atol=2e-5)
+
+    # per-point jitter with an injected deformation field
+    defor = (rng.random(x["points"].shape) * 0.2).astype(np.float32)
+    t_pc = defor_3D_pc(torch.tensor(x["points"]), torch.tensor(x["t"]),
+                       points_defor=torch.tensor(defor))
+    j_pc = our_aug.defor_pc(jax.random.key(0), jnp.array(x["points"]),
+                            jnp.array(x["t"]), 0.2, defor=jnp.array(defor))
+    np.testing.assert_allclose(np.asarray(j_pc), t_pc.numpy(), atol=2e-5)

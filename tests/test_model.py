@@ -1,0 +1,144 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hspose_tpu.config import default_config
+from hspose_tpu.models import build_model
+from hspose_tpu.models.hspose import eval_forward, train_forward, total_loss
+
+
+N_PTS = 128  # small cloud for test speed; pooled sizes 32 / 8
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return default_config()
+
+
+@pytest.fixture(scope="module")
+def model_and_vars(cfg):
+    model = build_model(cfg)
+    pts = jnp.asarray(np.random.default_rng(1).normal(size=(2, N_PTS, 3)), jnp.float32)
+    obj_id = jnp.array([0, 5], jnp.int32)
+    variables = model.init(
+        {"params": jax.random.key(0), "pool": jax.random.key(1),
+         "dropout": jax.random.key(2)},
+        pts, obj_id, True)
+    return model, variables
+
+
+def _fake_batch(rng, bs=2, n=N_PTS):
+    A = rng.normal(size=(bs, 3, 3))
+    Q, _ = np.linalg.qr(A)
+    det = np.linalg.det(Q)
+    Q[det < 0, :, 0] *= -1
+    aug_R = np.tile(np.eye(3, dtype=np.float32), (bs, 1, 1))
+    return {
+        "pcl_in": rng.normal(scale=0.1, size=(bs, n, 3)).astype(np.float32),
+        "cat_id": np.array([1, 5], np.float32)[:bs],
+        "rotation": Q.astype(np.float32),
+        "translation": rng.normal(scale=0.1, size=(bs, 3)).astype(np.float32),
+        "fsnet_scale": rng.normal(scale=0.01, size=(bs, 3)).astype(np.float32),
+        "mean_shape": np.abs(rng.normal(scale=0.1, size=(bs, 3))).astype(np.float32) + 0.1,
+        "sym_info": np.array([[1, 1, 0, 1], [0, 1, 0, 0]], np.float32)[:bs],
+        "aug_bb": rng.uniform(0.8, 1.2, size=(bs, 3)).astype(np.float32),
+        "aug_rt_t": rng.normal(scale=0.01, size=(bs, 3)).astype(np.float32),
+        "aug_rt_R": aug_R,
+        "model_point": rng.normal(scale=0.1, size=(bs, 1024, 3)).astype(np.float32),
+        "nocs_scale": np.abs(rng.normal(size=(bs,))).astype(np.float32) + 0.5,
+    }
+
+
+class TestPoseNetShapes:
+    def test_train_output_shapes(self, model_and_vars):
+        model, variables = model_and_vars
+        pts = jnp.asarray(np.random.default_rng(2).normal(size=(2, N_PTS, 3)),
+                          jnp.float32)
+        obj_id = jnp.array([0, 5], jnp.int32)
+        out, _ = model.apply(variables, pts, obj_id, True,
+                             rngs={"pool": jax.random.key(3), "dropout": jax.random.key(4)},
+                             mutable=["batch_stats"])
+        assert out.recon.shape == (2, N_PTS, 3)
+        assert out.face_normal.shape == (2, N_PTS, 6, 3)
+        assert out.face_dis.shape == (2, N_PTS, 6)
+        assert out.face_f.shape == (2, N_PTS, 6)
+        assert out.p_green_R.shape == (2, 3)
+        assert out.pred_T.shape == (2, 3)
+        assert out.pred_s.shape == (2, 3)
+        # axis vectors are unit, confidences in (0, 1)
+        np.testing.assert_allclose(np.linalg.norm(out.p_green_R, axis=-1), 1.0, atol=1e-4)
+        assert np.all(np.asarray(out.face_f) >= 0) and np.all(np.asarray(out.face_f) <= 1)
+        norms = np.linalg.norm(np.asarray(out.face_normal), axis=-1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+    def test_eval_mode_skips_heads(self, model_and_vars, cfg):
+        model, variables = model_and_vars
+        pts = jnp.asarray(np.random.default_rng(3).normal(size=(2, N_PTS, 3)),
+                          jnp.float32)
+        out = eval_forward(model, variables["params"], variables["batch_stats"],
+                           jax.random.key(5), pts, jnp.array([0, 3]))
+        assert out.recon is None and out.face_normal is None
+        assert out.p_green_R.shape == (2, 3)
+
+    def test_feature_dim_is_1286(self, model_and_vars, cfg):
+        # rotation head input channels must match the reference's feat_c_R
+        model, variables = model_and_vars
+        kernel = variables["params"]["rot_green"]["vec"]["conv1"]["kernel"]
+        assert kernel.shape[0] == cfg.model.feat_c_rot == 1286
+        ts_kernel = variables["params"]["ts"]["vec"]["conv1"]["kernel"]
+        assert ts_kernel.shape[0] == cfg.model.feat_c_ts == 1289
+
+
+class TestTrainForward:
+    def test_losses_finite_and_grads_flow(self, model_and_vars, cfg, rng):
+        model, variables = model_and_vars
+        batch = {k: jnp.asarray(v) for k, v in _fake_batch(rng).items()}
+        rngs = {"augment": jax.random.key(10), "pool": jax.random.key(11),
+                "dropout": jax.random.key(12)}
+
+        def loss_fn(params):
+            total, (dicts, _) = train_forward(cfg, model, params,
+                                              variables["batch_stats"], rngs, batch)
+            return total, dicts
+
+        (total, dicts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            variables["params"])
+        assert np.isfinite(float(total))
+        # all four families present with the PoseNet_only names
+        assert set(dicts.keys()) == {"fsnet_loss", "recon_loss", "geo_loss", "prop_loss"}
+        assert set(dicts["fsnet_loss"]) == {"Rot1", "Rot1_cos", "Rot2", "Rot2_cos",
+                                            "Rot_r_a", "Tran", "Size", "R_con"}
+        assert set(dicts["recon_loss"]) == {"recon_per_p", "recon_p_f",
+                                            "recon_point_vote", "recon_point_r",
+                                            "recon_point_t", "recon_point_s",
+                                            "recon_point_self"}
+        assert set(dicts["geo_loss"]) == {"geo_point"}
+        assert set(dicts["prop_loss"]) == {"Prop_pm", "Prop_sym_recon", "Prop_sym_rt"}
+        # gradients reach the backbone and every head
+        gnorm = jax.tree_util.tree_map(lambda g: float(jnp.sum(jnp.abs(g))), grads)
+        flat = jax.tree_util.tree_leaves(gnorm)
+        assert all(np.isfinite(v) for v in flat)
+        for top in ["face_recon", "rot_green", "rot_red", "ts"]:
+            sub = jax.tree_util.tree_leaves(gnorm[top] if isinstance(gnorm, dict)
+                                            else gnorm)
+            assert any(v > 0 for v in sub), f"no gradient reached {top}"
+
+    def test_total_loss_sums_all_terms(self):
+        dicts = {"a": {"x": jnp.array(1.0), "y": jnp.array(2.0)},
+                 "b": {"z": jnp.array(3.0)}}
+        assert float(total_loss(dicts)) == 6.0
+
+
+class TestBatchNorm:
+    def test_batch_stats_update_in_train(self, model_and_vars):
+        model, variables = model_and_vars
+        pts = jnp.asarray(np.random.default_rng(5).normal(size=(2, N_PTS, 3)) * 5,
+                          jnp.float32)
+        _, mutated = model.apply(variables, pts, jnp.array([0, 1]), True,
+                                 rngs={"pool": jax.random.key(6),
+                                       "dropout": jax.random.key(7)},
+                                 mutable=["batch_stats"])
+        before = jax.tree_util.tree_leaves(variables["batch_stats"])
+        after = jax.tree_util.tree_leaves(mutated["batch_stats"])
+        assert any(not np.allclose(b, a) for b, a in zip(before, after))
