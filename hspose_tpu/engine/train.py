@@ -1,0 +1,90 @@
+"""Training entry point.
+
+Equivalent of ``python -m engine.train`` (engine/train.py:25-165): seed resolution
+(incl. resume-from-checkpoint seed), model/optimizer/schedule build, resume restore,
+the epoch × step loop with NaN-skip and periodic logging, checkpoints every
+``save_every`` epochs.  The whole inner loop is one jitted ``train_step`` and the
+batch is sharded over the device mesh (data parallelism, SURVEY.md §2.2).
+
+Run:  python -m hspose_tpu.engine.train data.dataset_dir=/path/NOCS \
+          train.batch_size=16 train.seed=1677330429
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from dataclasses import asdict
+
+import jax
+import numpy as np
+
+from hspose_tpu.config import HSPoseConfig, parse_overrides
+from hspose_tpu.engine.checkpoint import restore_checkpoint, save_checkpoint
+from hspose_tpu.engine.train_step import build_train_step
+from hspose_tpu.models.hspose import build_model
+from hspose_tpu.parallel.mesh import make_mesh, shard_batch
+from hspose_tpu.utils.logging import MetricWriter, setup_logger
+
+
+def train(cfg: HSPoseConfig):
+    logger = setup_logger("train_log", os.path.join(cfg.train.model_save, "log.txt"))
+    logger.info("config: %s", asdict(cfg))
+
+    seed = cfg.train.seed if cfg.train.seed != -1 else int(time.time())
+
+    model = build_model(cfg)
+    tx, state, train_step = build_train_step(cfg, model, jax.random.key(seed))
+
+    s_epoch = 0
+    if cfg.train.resume and cfg.train.resume_model:
+        state, last_epoch, seed = restore_checkpoint(cfg.train.resume_model, state)
+        s_epoch = last_epoch + 1
+        logger.info("resumed from %s at epoch %d (seed %d)",
+                    cfg.train.resume_model, s_epoch, seed)
+
+    mesh = make_mesh(cfg.parallel)
+    logger.info("device mesh: %s", mesh)
+
+    from hspose_tpu.data.dataset import PoseTrainDataset, train_batches
+
+    dataset = PoseTrainDataset(cfg.data, mode="train")
+    logger.info("%d images found, %d models loaded", len(dataset),
+                len(dataset.models))
+
+    writer = MetricWriter(cfg.train.model_save)
+    data_key = jax.random.key(seed)
+
+    for epoch in range(s_epoch, cfg.train.total_epoch):
+        t0 = time.time()
+        batches = train_batches(dataset, cfg.train.batch_size, cfg.train.train_steps,
+                                seed=seed + epoch * 997, num_workers=cfg.data.num_workers,
+                                prefetch=cfg.data.prefetch)
+        for i, batch in enumerate(batches):
+            batch = shard_batch(mesh, batch)
+            state, metrics = train_step(state, batch, data_key)
+            step = int(epoch) * cfg.train.train_steps + i
+            if i % cfg.train.log_every == 0:
+                host_metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                writer.write(step, host_metrics)
+                logger.info("epoch %d step %d total_loss %.4f", epoch, i,
+                            host_metrics["total_loss"])
+
+        logger.info("epoch %d done in %.1fs", epoch, time.time() - t0)
+        if (epoch + 1) % cfg.train.save_every == 0 or (epoch + 1) == cfg.train.total_epoch:
+            path = save_checkpoint(cfg.train.model_save, jax.device_get(state),
+                                   epoch, seed)
+            logger.info("checkpoint saved: %s", path)
+    writer.close()
+    return state
+
+
+def main(argv=None):
+    cfg = parse_overrides(sys.argv[1:] if argv is None else argv)
+    os.makedirs(cfg.train.model_save, exist_ok=True)
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()

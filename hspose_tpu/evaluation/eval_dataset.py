@@ -1,0 +1,137 @@
+"""Evaluation dataset: DualPoseNet detection pickles → per-instance point clouds.
+
+Equivalent of ``evaluation/load_data_eval.PoseDataset`` (:16-286): per test image,
+load the detection pickle (``results_{test,val}_{scene}_{id}.pkl``), crop each
+detected instance with the deterministic square window (no DZI jitter), back-project
+masked depth and sample the fixed-size cloud, and attach per-class symmetry/mean
+shape.  The TPU harness batches crops *across* images (the reference runs one image
+at a time, evaluate.py:79-119), so this module just yields per-image crop groups.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, Iterator, Optional, Tuple
+
+import cv2
+import numpy as np
+
+from hspose_tpu.config import DataConfig
+from hspose_tpu.data import image_utils as iu
+from hspose_tpu.data.dataset import (
+    CAMERA_INTRINSICS,
+    REAL_INTRINSICS,
+    _read_img_lists,
+    host_depth_to_pcl,
+    host_sample_points,
+)
+from hspose_tpu.geometry import symmetry as sym_tab
+
+
+class PoseEvalDataset:
+    def __init__(self, cfg: DataConfig, mode: str = "test"):
+        self.cfg = cfg
+        self.data_dir = cfg.dataset_dir
+        self.detection_dir = cfg.detection_dir
+        lists = _read_img_lists(self.data_dir, cfg.dataset, mode)
+        self.img_list = lists.img_list
+        self.length = len(self.img_list)
+        self.per_obj_id = sym_tab.CAT_NAME2ID.get(cfg.per_obj)
+        self.id2cat_name = {str(i + 1): n for i, n in enumerate(sym_tab.CAT_NAMES)}
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, index: int):
+        return self.get_image(index, np.random.default_rng(index))
+
+    def get_image(self, index: int, rng: np.random.Generator
+                  ) -> Optional[Tuple[Dict, Dict, Dict]]:
+        """Returns (data_dict, detection_dict, gts) or None on unreadable input."""
+        img_path = os.path.join(self.data_dir, self.img_list[index])
+        try:
+            with open(img_path + "_label.pkl", "rb") as f:
+                gts = pickle.load(f)
+        except Exception:
+            return None
+
+        is_camera = "CAMERA" in img_path.split(os.sep)
+        cam_k = CAMERA_INTRINSICS if is_camera else REAL_INTRINSICS
+
+        parts = img_path.split(os.sep)
+        scene, img_id = parts[-2], parts[-1]
+        if is_camera:
+            detection_file = os.path.join(self.detection_dir, "CAMERA25",
+                                          f"results_val_{scene}_{img_id}.pkl")
+        else:
+            detection_file = os.path.join(self.detection_dir, "REAL275",
+                                          f"results_test_{scene}_{img_id}.pkl")
+        with open(detection_file, "rb") as f:
+            detection_dict = pickle.load(f)
+
+        rgb = cv2.imread(img_path + "_color.png")
+        if rgb is None:
+            return None
+        im_h, im_w = rgb.shape[:2]
+        try:
+            depth = iu.load_depth(img_path + "_depth.png")
+        except Exception:
+            return None
+
+        num_instances = len(detection_dict["pred_class_ids"])
+        coord_2d = iu.get_2d_coord(im_w, im_h)
+
+        sym_infos, mean_shapes, obj_ids, obj_ids_0, pcls, valid_idx = \
+            [], [], [], [], [], []
+        for j in range(num_instances):
+            cat_id = int(detection_dict["pred_class_ids"][j])
+            if self.per_obj_id is not None:
+                if cat_id != self.per_obj_id:
+                    continue
+                valid_idx.append(j)
+
+            mask = detection_dict["pred_masks"][:, :, j]
+            rmin, rmax, cmin, cmax = iu.get_bbox(detection_dict["pred_bboxes"][j],
+                                                 im_h, im_w)
+            center, scale = iu.bbox_center_scale_eval(
+                np.array([cmin, rmin, cmax, rmax]), im_h, im_w)
+
+            s = self.cfg.img_size
+            roi_coord = iu.crop_resize_by_warp_affine(
+                coord_2d.transpose(1, 2, 0), center, scale, s).transpose(2, 0, 1)
+            roi_mask = iu.crop_resize_by_warp_affine(
+                mask.astype(np.float32), center, scale, s)
+            roi_depth = iu.crop_resize_by_warp_affine(
+                depth.astype(np.float32), center, scale, s)
+
+            if np.sum(roi_depth > 0) <= 1 or np.sum((roi_mask > 0) & (roi_depth > 0)) <= 1:
+                return None
+            pcl = host_depth_to_pcl(roi_depth, cam_k, roi_coord, roi_mask) / 1000.0
+            pcl = host_sample_points(rng, pcl, self.cfg.num_points)
+
+            cat_name = self.id2cat_name[str(cat_id)]
+            sym_infos.append(sym_tab.sym_info(cat_name))
+            mean_shapes.append(sym_tab.mean_shape_mm(cat_name) / 1000.0)
+            obj_ids.append(cat_id)
+            obj_ids_0.append(cat_id - 1)
+            pcls.append(pcl)
+
+        if self.per_obj_id is not None:
+            for key in ["pred_class_ids", "pred_bboxes", "pred_scores"]:
+                detection_dict[key] = np.array(
+                    [detection_dict[key][i] for i in valid_idx])
+        detection_dict.pop("pred_masks", None)
+
+        data_dict = {
+            "cat_id": np.array(obj_ids, np.int32),
+            "cat_id_0base": np.array(obj_ids_0, np.int32),
+            "sym_info": np.array(sym_infos, np.float32).reshape(-1, 4),
+            "mean_shape": np.array(mean_shapes, np.float32).reshape(-1, 3),
+            "pcl_in": np.array(pcls, np.float32).reshape(-1, self.cfg.num_points, 3),
+        }
+        return data_dict, detection_dict, gts
+
+    def iter_images(self, rng: np.random.Generator) -> Iterator:
+        for i in range(self.length):
+            yield self.get_image(i, rng)

@@ -1,0 +1,230 @@
+"""Batched evaluation harness + CLI.
+
+Equivalent of ``evaluation/evaluate.py`` (:28-207) with the TPU-first difference
+that detection crops are batched *across* images into fixed-size padded batches (the
+reference forwards one image at a time).  Reuses a cached ``pred_result.pkl`` when
+present (ref :52-56), then computes the NOCS degree/cm mAP table on thresholds
+0–60°×1 / 0–10cm×0.5 / IoU 0–1×0.01 (ref :127-129).
+
+Run:  python -m hspose_tpu.evaluation.evaluate data.dataset_dir=... \
+          train.resume_model=<ckpt> eval.eval_seed=1677483078
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from hspose_tpu.config import HSPoseConfig, parse_overrides
+from hspose_tpu.geometry.symmetry import SYNSET_NAMES
+from hspose_tpu.utils.logging import setup_logger
+
+
+def batched_pose_inference(cfg: HSPoseConfig, model, params, batch_stats,
+                           image_records: List, seed: int):
+    """Run the posenet over all detection crops in fixed-size padded batches.
+
+    image_records: list of (data_dict, detection_dict, gts) from PoseEvalDataset.
+    Fills each detection_dict with 'pred_RTs' and 'pred_scales'; returns
+    (pred_results, crops_per_second).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from hspose_tpu.geometry.rotations import generate_RT
+    from hspose_tpu.models.hspose import eval_forward
+
+    B = cfg.eval.eval_batch
+    n_pts = cfg.data.num_points
+
+    # flatten crops
+    clouds, ids, syms, means, owners = [], [], [], [], []
+    for rec_idx, rec in enumerate(image_records):
+        data = rec[0]
+        n = len(data["cat_id_0base"])
+        for j in range(n):
+            clouds.append(data["pcl_in"][j])
+            ids.append(data["cat_id_0base"][j])
+            syms.append(data["sym_info"][j])
+            means.append(data["mean_shape"][j])
+            owners.append((rec_idx, j))
+
+    total = len(clouds)
+    pred_RTs = np.zeros((total, 4, 4))
+    pred_scales = np.zeros((total, 3))
+
+    @jax.jit
+    def forward(pc, obj_id, sym, mean_shape, key):
+        out = eval_forward(model, params, batch_stats, key, pc, obj_id)
+        RT = generate_RT(out.p_green_R, out.p_red_R, out.f_green_R, out.f_red_R,
+                         out.pred_T, sym)
+        return RT, out.pred_s + mean_shape
+
+    key = jax.random.key(seed)
+    t_start = None
+    n_batches = (total + B - 1) // B
+    for b in range(n_batches):
+        lo, hi = b * B, min((b + 1) * B, total)
+        pad = B - (hi - lo)
+        pc = np.stack(clouds[lo:hi] + [clouds[lo]] * pad)
+        obj_id = np.array(list(ids[lo:hi]) + [ids[lo]] * pad, np.int32)
+        sym = np.stack(syms[lo:hi] + [syms[lo]] * pad)
+        mean = np.stack(means[lo:hi] + [means[lo]] * pad)
+        RT, scales = forward(jnp.asarray(pc), jnp.asarray(obj_id), jnp.asarray(sym),
+                             jnp.asarray(mean), jax.random.fold_in(key, b))
+        RT.block_until_ready()
+        if t_start is None:  # exclude the first (compile) batch from timing
+            t_start = time.time()
+            n_timed_from = hi
+        pred_RTs[lo:hi] = np.asarray(RT)[:hi - lo]
+        pred_scales[lo:hi] = np.asarray(scales)[:hi - lo]
+    elapsed = (time.time() - t_start) if t_start else 0.0
+    crops_per_sec = ((total - n_timed_from) / elapsed
+                     if t_start and total > n_timed_from and elapsed > 0 else 0.0)
+
+    # scatter back
+    pred_results = []
+    by_rec: Dict[int, List[int]] = {}
+    for flat_idx, (rec_idx, j) in enumerate(owners):
+        by_rec.setdefault(rec_idx, []).append(flat_idx)
+    for rec_idx, rec in enumerate(image_records):
+        detection_dict, gts = rec[1], rec[2]
+        flat = by_rec.get(rec_idx, [])
+        detection_dict["pred_RTs"] = (pred_RTs[flat] if flat
+                                      else np.zeros((0, 4, 4)))
+        detection_dict["pred_scales"] = (pred_scales[flat] if flat
+                                         else np.zeros((0, 3)))
+        pred_results.append(detection_dict)
+    return pred_results, crops_per_sec
+
+
+def load_eval_images(cfg: HSPoseConfig, seed: int, num_workers: int = 8,
+                     limit: Optional[int] = None):
+    from hspose_tpu.evaluation.eval_dataset import PoseEvalDataset
+
+    ds = PoseEvalDataset(cfg.data, mode="test")
+    n = len(ds) if limit is None else min(limit, len(ds))
+
+    def load(i):
+        return ds.get_image(i, np.random.default_rng(np.random.SeedSequence([seed, i])))
+
+    with ThreadPoolExecutor(max_workers=num_workers) as ex:
+        records = list(ex.map(load, range(n)))
+    return [r for r in records if r is not None]
+
+
+def report_lines(iou_aps, pose_aps, degree_thres_list, shift_thres_list,
+                 iou_thres_list, idx: int = -1) -> List[str]:
+    """The README-style metric table (evaluation/evaluate.py:143-207)."""
+    d05 = degree_thres_list.index(5)
+    d10 = degree_thres_list.index(10)
+    s02 = shift_thres_list.index(2)
+    s05 = shift_thres_list.index(5)
+    s10 = shift_thres_list.index(10)
+    out = [
+        "mAP:",
+        "3D IoU at 25: {:.1f}".format(iou_aps[idx, iou_thres_list.index(0.25)] * 100),
+        "3D IoU at 50: {:.1f}".format(iou_aps[idx, iou_thres_list.index(0.5)] * 100),
+        "3D IoU at 75: {:.1f}".format(iou_aps[idx, iou_thres_list.index(0.75)] * 100),
+        "5 degree, 2cm: {:.1f}".format(pose_aps[idx, d05, s02] * 100),
+        "5 degree, 5cm: {:.1f}".format(pose_aps[idx, d05, s05] * 100),
+        "10 degree, 2cm: {:.1f}".format(pose_aps[idx, d10, s02] * 100),
+        "10 degree, 5cm: {:.1f}".format(pose_aps[idx, d10, s05] * 100),
+        "10 degree, 10cm: {:.1f}".format(pose_aps[idx, d10, s10] * 100),
+        "5 degree: {:.1f}".format(pose_aps[idx, d05, -1] * 100),
+        "10 degree: {:.1f}".format(pose_aps[idx, d10, -1] * 100),
+        "2cm: {:.1f}".format(pose_aps[idx, -1, s02] * 100),
+        "5cm: {:.1f}".format(pose_aps[idx, -1, s05] * 100),
+        "10cm: {:.1f}".format(pose_aps[idx, -1, s10] * 100),
+    ]
+    return out
+
+
+def evaluate(cfg: HSPoseConfig) -> Dict[str, float]:
+    from hspose_tpu.evaluation.metrics import compute_degree_cm_mAP
+
+    seed = cfg.eval.eval_seed if cfg.eval.eval_seed != -1 else int(time.time())
+    model_name = os.path.basename(cfg.train.resume_model).split(".")[0] or "model"
+    output_path = os.path.join(cfg.train.model_save, f"eval_result_{model_name}")
+    os.makedirs(output_path, exist_ok=True)
+    logger = setup_logger("eval_log", os.path.join(cfg.train.model_save,
+                                                   "log_eval.txt"))
+
+    pred_path = os.path.join(output_path, "pred_result.pkl")
+    crops_per_sec = 0.0
+    if os.path.exists(pred_path):
+        with open(pred_path, "rb") as f:
+            pred_results = pickle.load(f)
+    else:
+        from hspose_tpu.models.hspose import build_model
+        from hspose_tpu.utils.params_io import load_params
+
+        model = build_model(cfg)
+        params, batch_stats = load_params(cfg, cfg.train.resume_model)
+        logger.info("loading eval images...")
+        records = load_eval_images(cfg, seed, cfg.data.num_workers)
+        logger.info(f"{len(records)} images loaded; running batched inference")
+        pred_results, crops_per_sec = batched_pose_inference(
+            cfg, model, params, batch_stats, records, seed)
+        # merge gt fields the metric needs
+        for (data, det, gts), det_out in zip(records, pred_results):
+            for k in ["gt_class_ids", "gt_RTs", "gt_scales", "gt_handle_visibility"]:
+                if k not in det_out and k in gts:
+                    det_out[k] = gts[k]
+        with open(pred_path, "wb") as f:
+            pickle.dump(pred_results, f)
+        logger.info(f"inference throughput: {crops_per_sec:.1f} crops/s")
+
+    if cfg.eval.eval_inference_only:
+        return {"crops_per_sec": crops_per_sec}
+
+    degree_thres_list = list(range(0, 61, 1))
+    shift_thres_list = [i / 2 for i in range(21)]
+    iou_thres_list = [i / 100 for i in range(101)]
+
+    iou_aps, pose_aps = compute_degree_cm_mAP(
+        pred_results, SYNSET_NAMES, output_path, degree_thres_list,
+        shift_thres_list, iou_thres_list, iou_pose_thres=0.1,
+        use_matches_for_pose=True, plot_figure=True)
+
+    full_deg = degree_thres_list + [360]
+    full_shift = shift_thres_list + [100]
+    idx = (SYNSET_NAMES.index(cfg.data.per_obj)
+           if cfg.data.per_obj in SYNSET_NAMES else -1)
+    logger.info("Evaluation Seed: {}".format(seed))
+    for line in report_lines(iou_aps, pose_aps, full_deg, full_shift,
+                             iou_thres_list, idx):
+        logger.info(line)
+    if idx == -1:
+        for cls_id in range(1, len(SYNSET_NAMES)):
+            logger.info(f"category {SYNSET_NAMES[cls_id]}")
+            for line in report_lines(iou_aps, pose_aps, full_deg, full_shift,
+                                     iou_thres_list, cls_id):
+                logger.info(line)
+
+    return {
+        "IoU25": iou_aps[-1, iou_thres_list.index(0.25)] * 100,
+        "IoU50": iou_aps[-1, iou_thres_list.index(0.5)] * 100,
+        "IoU75": iou_aps[-1, iou_thres_list.index(0.75)] * 100,
+        "5d2cm": pose_aps[-1, full_deg.index(5), full_shift.index(2)] * 100,
+        "5d5cm": pose_aps[-1, full_deg.index(5), full_shift.index(5)] * 100,
+        "10d2cm": pose_aps[-1, full_deg.index(10), full_shift.index(2)] * 100,
+        "10d5cm": pose_aps[-1, full_deg.index(10), full_shift.index(5)] * 100,
+        "10d10cm": pose_aps[-1, full_deg.index(10), full_shift.index(10)] * 100,
+        "crops_per_sec": crops_per_sec,
+    }
+
+
+def main(argv=None):
+    cfg = parse_overrides(sys.argv[1:] if argv is None else argv)
+    evaluate(cfg)
+
+
+if __name__ == "__main__":
+    main()

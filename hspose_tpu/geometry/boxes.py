@@ -43,8 +43,16 @@ def _y_rotation_mats(n: int) -> np.ndarray:
     return mats
 
 
-def _aabb_iou(mins1, maxs1, mins2, maxs2):
-    """Axis-aligned IoU with arbitrary broadcast leading axes; inputs (..., 3)."""
+def _nocs_box_iou(mins1, maxs1, mins2, maxs2):
+    """The NOCS-eval 'IoU' with arbitrary broadcast leading axes; inputs (..., 8).
+
+    NOTE: the reference (evaluation/eval_utils_v1.py:47-62, inherited from the
+    NOCS/CASS evaluation scripts) reduces the (3, 8) corner matrix with
+    ``np.amax(..., axis=0)`` — i.e. per-CORNER min/max over the x/y/z coordinates,
+    then products over the 8 corners — not a geometric axis-aligned box IoU.  Every
+    published number in this line of work was produced by that exact computation, so
+    we replicate it bit-for-bit (corner order matters and matches get_3d_bbox).
+    """
     overlap = np.minimum(maxs1, maxs2) - np.maximum(mins1, mins2)
     inter = np.where(np.min(overlap, axis=-1) < 0, 0.0, np.prod(overlap, axis=-1))
     vol1 = np.prod(maxs1 - mins1, axis=-1)
@@ -69,17 +77,18 @@ def pairwise_3d_iou(pred_RTs: np.ndarray, pred_scales: np.ndarray,
     rots = _y_rotation_mats(n_rot)  # (n, 4, 4)
     pred_corners_base = get_3d_bbox(pred_scales)  # (P, 3, 8)
     gt_corners = transform_coordinates_3d(get_3d_bbox(gt_scales), gt_RTs)  # (G, 3, 8)
-    gt_min = gt_corners.min(axis=-1)  # (G, 3)
-    gt_max = gt_corners.max(axis=-1)
+    # reference reduces over the COORDINATE axis (see _nocs_box_iou): (G, 8)
+    gt_min = gt_corners.min(axis=-2)
+    gt_max = gt_corners.max(axis=-2)
 
     swept_RTs = pred_RTs[:, None] @ rots[None]  # (P, n, 4, 4)
     pred_corners = transform_coordinates_3d(pred_corners_base[:, None], swept_RTs)  # (P, n, 3, 8)
-    pred_min = pred_corners.min(axis=-1)  # (P, n, 3)
-    pred_max = pred_corners.max(axis=-1)
+    pred_min = pred_corners.min(axis=-2)  # (P, n, 8)
+    pred_max = pred_corners.max(axis=-2)
 
     # (P, n, G)
-    ious = _aabb_iou(pred_min[:, :, None], pred_max[:, :, None],
-                     gt_min[None, None], gt_max[None, None])
+    ious = _nocs_box_iou(pred_min[:, :, None], pred_max[:, :, None],
+                         gt_min[None, None], gt_max[None, None])
     sym_iou = np.maximum(ious.max(axis=1), 0.0)  # max over the rotation sweep
     asym_iou = ious[:, 0, :]  # rotation 0 is the identity
     return np.where(sym_pair, sym_iou, asym_iou)

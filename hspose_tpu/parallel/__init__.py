@@ -1,0 +1,11 @@
+from hspose_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    pad_to_multiple,
+    replicate_state,
+    replicated,
+    shard_batch,
+)
+
+__all__ = ["batch_sharding", "make_mesh", "pad_to_multiple", "replicate_state",
+           "replicated", "shard_batch"]

@@ -1,0 +1,59 @@
+"""Device mesh + data-parallel sharding.
+
+The reference is strictly single-GPU (engine/train.py:23); scale-out is the one
+first-class distributed capability the TPU framework adds (SURVEY.md §2.2): the
+batch axis is sharded over a 1-D ``jax.sharding.Mesh`` and XLA emits the gradient
+all-reduces over ICI.  Multi-host extends the same code via ``jax.distributed``.
+No custom communication layer exists, by design.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from hspose_tpu.config import ParallelConfig
+
+
+def make_mesh(cfg: ParallelConfig, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    dp = cfg.dp if cfg.dp > 0 else len(devices)
+    assert dp <= len(devices), f"requested dp={dp} > {len(devices)} devices"
+    return Mesh(np.array(devices[:dp]).reshape(dp), (cfg.mesh_axis_name,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(mesh.axis_names[0]))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Place host arrays with the batch axis split over the mesh.
+
+    Batch size must divide by the mesh size; the train loop guarantees this.
+    """
+    sharding = batch_sharding(mesh)
+    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+def replicate_state(mesh: Mesh, tree):
+    """Replicate params/optimizer state across the mesh (pure DP)."""
+    return jax.device_put(tree, replicated(mesh))
+
+
+def pad_to_multiple(batch: Dict[str, np.ndarray], multiple: int
+                    ) -> Dict[str, np.ndarray]:
+    """Pad the leading axis up to a multiple (for ragged eval batches)."""
+    n = next(iter(batch.values())).shape[0]
+    pad = (-n) % multiple
+    if pad == 0:
+        return batch
+    return {k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)], axis=0)
+            for k, v in batch.items()}

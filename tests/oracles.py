@@ -80,16 +80,23 @@ def knn_single(points, k):
 
 
 def iou_3d_single(RT1, RT2, s1, s2, sym, n_rot=20):
-    """Single-pair 3D box IoU with optional y-rotation sweep."""
+    """Single-pair NOCS-eval box 'IoU' with optional y-rotation sweep.
+
+    Replicates the reference's quirk of reducing the (3, 8) corner matrix over the
+    coordinate axis (per-corner extremes, products over 8 corners) — the exact
+    computation behind every published NOCS mAP table.  Corner order matches
+    ``get_3d_bbox``.
+    """
     def corners(s):
-        signs = np.array([[sx, sy, sz] for sx in (1, -1) for sy in (1, -1) for sz in (1, -1)])
+        signs = np.array([[1, 1, 1], [1, 1, -1], [-1, 1, 1], [-1, 1, -1],
+                          [1, -1, 1], [1, -1, -1], [-1, -1, 1], [-1, -1, -1]])
         return (0.5 * s * signs).T  # (3, 8)
 
     def aabb_iou(RT1, RT2):
         c1 = RT1[:3, :3] @ corners(s1) + RT1[:3, 3:4]
         c2 = RT2[:3, :3] @ corners(s2) + RT2[:3, 3:4]
-        mn1, mx1 = c1.min(1), c1.max(1)
-        mn2, mx2 = c2.min(1), c2.max(1)
+        mn1, mx1 = c1.min(0), c1.max(0)  # per-corner over coords: shape (8,)
+        mn2, mx2 = c2.min(0), c2.max(0)
         ov = np.minimum(mx1, mx2) - np.maximum(mn1, mn2)
         if ov.min() < 0:
             inter = 0.0
