@@ -134,8 +134,10 @@ def lookahead(k: int = 6, alpha: float = 0.5) -> optax.GradientTransformation:
     """
 
     def init_fn(params):
+        # materialize a copy: aliasing the live param buffers breaks donation
         return LookaheadState(jnp.zeros([], jnp.int32),
-                              tree_util.tree_map(jnp.asarray, params))
+                              tree_util.tree_map(lambda p: jnp.array(p, copy=True),
+                                                 params))
 
     def update_fn(updates, state, params):
         if params is None:

@@ -60,11 +60,17 @@ class HSLayerSurface(nn.Module):
 
     Matches ``gcn3d.HSlayer_surface`` (:61-113): graph conv over RF-P receptive
     fields + ORL global branch + STE (1×1-conv shortcut on xyz).
+
+    Memory note: the reference materializes the (B, N, K, S·C) theta tensor
+    (gcn3d.py:101-105) — ~19 GB at batch 256.  With ``support_scan`` (default) the
+    max-over-neighbours/mean-over-supports reduction runs as a scan over the S
+    support directions, peaking at (B, N, K, C) instead — identical outputs.
     """
 
     kernel_num: int
     support_num: int
     dtype: jnp.dtype = jnp.float32
+    support_scan: bool = True
 
     @nn.compact
     def __call__(self, vertices: jnp.ndarray, rf_idx: jnp.ndarray,
@@ -82,11 +88,24 @@ class HSLayerSurface(nn.Module):
         rf_norm = neighbor_directions_normalized(vertices, rf_idx)  # (B, N, K, 3)
         dir_norm = directions / jnp.maximum(
             jnp.linalg.norm(directions, axis=0, keepdims=True), 1e-12)
-        theta = jnp.einsum("bnkd,ds->bnks", rf_norm, dir_norm.astype(rf_norm.dtype))
-        theta = jax.nn.relu(theta)
-        B, N, K = theta.shape[:3]
-        theta = theta.reshape(B, N, K, s, k)
-        feature = jnp.mean(jnp.max(theta, axis=2), axis=2)  # max over neighbours, mean over supports
+        dir_norm = dir_norm.astype(rf_norm.dtype)
+
+        if self.support_scan:
+            dirs_s = dir_norm.reshape(3, s, k).transpose(1, 0, 2)  # (S, 3, C)
+
+            def body(carry, dir_s):
+                theta_s = jax.nn.relu(jnp.einsum("bnkd,dc->bnkc", rf_norm, dir_s))
+                return carry + jnp.max(theta_s, axis=2), None
+
+            total, _ = jax.lax.scan(
+                body, jnp.zeros(rf_norm.shape[:2] + (k,), rf_norm.dtype), dirs_s)
+            feature = total / s
+        else:
+            theta = jax.nn.relu(
+                jnp.einsum("bnkd,ds->bnks", rf_norm, dir_norm))
+            B, N, K = theta.shape[:3]
+            theta = theta.reshape(B, N, K, s, k)
+            feature = jnp.mean(jnp.max(theta, axis=2), axis=2)
 
         # ORL (gcn3d.py:109-113)
         f_global = orl_global(feature, orl_idx)
@@ -108,6 +127,7 @@ class HSLayer(nn.Module):
     out_channel: int
     support_num: int
     dtype: jnp.dtype = jnp.float32
+    support_scan: bool = True
 
     @nn.compact
     def __call__(self, vertices: jnp.ndarray, feature_map: jnp.ndarray,
@@ -128,19 +148,36 @@ class HSLayer(nn.Module):
         rf_norm = neighbor_directions_normalized(vertices, rf_idx)  # (B, N, K, 3)
         dir_norm = directions / jnp.maximum(
             jnp.linalg.norm(directions, axis=0, keepdims=True), 1e-12)
-        theta = jax.nn.relu(
-            jnp.einsum("bnkd,ds->bnks", rf_norm, dir_norm.astype(rf_norm.dtype)))
-        # (B, N, K, s*co)
+        dir_norm = dir_norm.astype(rf_norm.dtype)
 
         projected = feature_map.astype(self.dtype) @ weights.astype(self.dtype) + bias
         feature_center = projected[..., :co]  # (B, N, co)
-        feature_support = projected[..., co:]  # (B, N, s*co)
-        feature_support = gather_neighbors(feature_support, rf_idx)  # (B, N, K, s*co)
 
-        activation = theta * feature_support
-        B, N, K = activation.shape[:3]
-        activation = activation.reshape(B, N, K, s, co)
-        activation = jnp.mean(jnp.max(activation, axis=2), axis=2)  # (B, N, co)
+        if self.support_scan:
+            # scan over supports: peak (B, N, K, co) instead of (B, N, K, s·co)
+            dirs_s = dir_norm.reshape(3, s, co).transpose(1, 0, 2)  # (S, 3, co)
+            support_s = (projected[..., co:]
+                         .reshape(projected.shape[:-1] + (s, co))
+                         .transpose(2, 0, 1, 3))  # (S, B, N, co)
+
+            def body(carry, inp):
+                dir_s, sup_s = inp
+                theta_s = jax.nn.relu(jnp.einsum("bnkd,dc->bnkc", rf_norm, dir_s))
+                gathered = gather_neighbors(sup_s, rf_idx)  # (B, N, K, co)
+                return carry + jnp.max(theta_s * gathered, axis=2), None
+
+            total, _ = jax.lax.scan(
+                body, jnp.zeros(rf_norm.shape[:2] + (co,), rf_norm.dtype),
+                (dirs_s, support_s))
+            activation = total / s
+        else:
+            theta = jax.nn.relu(jnp.einsum("bnkd,ds->bnks", rf_norm, dir_norm))
+            feature_support = gather_neighbors(projected[..., co:], rf_idx)
+            act = theta * feature_support
+            B, N, K = act.shape[:3]
+            act = act.reshape(B, N, K, s, co)
+            activation = jnp.mean(jnp.max(act, axis=2), axis=2)
+
         feature = feature_center + activation
 
         # ORL (gcn3d.py:183-187)

@@ -1,0 +1,149 @@
+"""Chamfer distance: XLA reference implementation + tiled Pallas TPU kernel.
+
+TPU-native re-emission of the reference's only native component, the CUDA extension
+``tools/pyTorchChamferDistance/chamfer_distance.{cu,cpp}`` (dormant there; see
+SURVEY.md §2.3): forward = per-point nearest-neighbour squared distance in both
+directions, backward = gradient scatter through the argmin pairing.
+
+* ``chamfer_distance``      — differentiable via jax.custom_vjp; backward uses the
+  saved argmin indices exactly like the CUDA kernel's atomicAdd scatter
+  (chamfer_distance.cu:158-187), but expressed as a dense gather/segment-sum.
+* ``chamfer_distance_pallas`` — forward kernel that streams source tiles through
+  VMEM with a running min, never materializing the N×M distance matrix in HBM
+  (the flash-attention-style structure the CUDA kernel approximates with its
+  512-point shared-memory tiles, chamfer_distance.cu:6-137).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hspose_tpu.ops.knn import pairwise_sq_dist
+
+
+def _nearest(a: jnp.ndarray, b: jnp.ndarray):
+    """For each point of a (B, N, 3): min squared distance to b (B, M, 3) + argmin."""
+    d = pairwise_sq_dist(a, b)  # (B, N, M)
+    return jnp.min(d, axis=-1), jnp.argmin(d, axis=-1).astype(jnp.int32)
+
+
+@jax.custom_vjp
+def chamfer_distance(a: jnp.ndarray, b: jnp.ndarray):
+    """Returns (dist_a (B, N), dist_b (B, M)) of squared distances, like the CUDA
+    extension's forward (chamfer_distance.cpp bindings)."""
+    da, _ = _nearest(a, b)
+    db, _ = _nearest(b, a)
+    return da, db
+
+
+def _chamfer_fwd(a, b):
+    da, ia = _nearest(a, b)
+    db, ib = _nearest(b, a)
+    return (da, db), (a, b, ia, ib)
+
+
+def _chamfer_bwd(res, grads):
+    a, b, ia, ib = res
+    gda, gdb = grads  # (B, N), (B, M)
+
+    # d/da of ‖a_i − b_{ia_i}‖² = 2 (a_i − b_{ia_i}); scatter the reverse term
+    b_near = jnp.take_along_axis(b, ia[..., None], axis=1)  # (B, N, 3)
+    a_near = jnp.take_along_axis(a, ib[..., None], axis=1)  # (B, M, 3)
+
+    diff_a = 2.0 * (a - b_near) * gda[..., None]  # (B, N, 3)
+    diff_b = 2.0 * (b - a_near) * gdb[..., None]  # (B, M, 3)
+
+    # reverse-direction scatters (the CUDA atomicAdd path, .cu:158-187)
+    def scatter_add(target_len, idx, updates):
+        def one(idx1, upd1):
+            return jnp.zeros((target_len, 3), upd1.dtype).at[idx1].add(upd1)
+        return jax.vmap(one)(idx, updates)
+
+    ga = diff_a + scatter_add(a.shape[1], ib, -diff_b)
+    gb = diff_b + scatter_add(b.shape[1], ia, -diff_a)
+    return ga, gb
+
+
+chamfer_distance.defvjp(_chamfer_fwd, _chamfer_bwd)
+
+
+def chamfer_loss(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Scalar symmetric chamfer loss (mean of both directions)."""
+    da, db = chamfer_distance(a, b)
+    return jnp.mean(da) + jnp.mean(db)
+
+
+# --------------------------------------------------------------------------------- #
+# Pallas forward kernel
+# --------------------------------------------------------------------------------- #
+
+def _chamfer_kernel(a_ref, b_ref, out_ref, *, m_tile: int):
+    """One (batch, query-tile) program: running min over source tiles.
+
+    a_ref: (1, TN, 3) query tile in VMEM; b_ref: (1, M, 3) full source in VMEM;
+    out_ref: (1, TN) min squared distances.
+    """
+    a = a_ref[0]  # (TN, 3)
+    a_sq = jnp.sum(a * a, axis=-1, keepdims=True)  # (TN, 1)
+    m_total = b_ref.shape[1]
+    n_tiles = m_total // m_tile
+
+    def body(t, best):
+        b_blk = b_ref[0, pl.ds(t * m_tile, m_tile), :]  # (TM, 3)
+        b_sq = jnp.sum(b_blk * b_blk, axis=-1)  # (TM,)
+        inner = jax.lax.dot_general(
+            a, b_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (TN, TM)
+        d = a_sq + b_sq[None, :] - 2.0 * inner
+        return jnp.minimum(best, jnp.min(d, axis=-1))
+
+    best = jnp.full((a.shape[0],), jnp.inf, jnp.float32)
+    best = jax.lax.fori_loop(0, n_tiles, body, best)
+    out_ref[0, :] = best
+
+
+@functools.partial(jax.jit, static_argnames=("n_tile", "m_tile", "interpret"))
+def chamfer_min_dists_pallas(a: jnp.ndarray, b: jnp.ndarray, n_tile: int = 256,
+                             m_tile: int = 512, interpret: bool = False):
+    """Pallas forward: per-point min squared distance from a to b.
+
+    a: (B, N, 3), b: (B, M, 3) with N % n_tile == 0 and M % m_tile == 0
+    (pad with +inf-distance sentinels upstream if needed).  Returns (B, N).
+    """
+    B, N, _ = a.shape
+    M = b.shape[1]
+    assert N % n_tile == 0 and M % m_tile == 0, (N, M, n_tile, m_tile)
+
+    grid = (B, N // n_tile)
+    return pl.pallas_call(
+        functools.partial(_chamfer_kernel, m_tile=m_tile),
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, n_tile, 3), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, M, 3), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, n_tile), lambda i, j: (i, j)),
+        interpret=interpret,
+    )(a, b)
+
+
+def chamfer_distance_pallas(a: jnp.ndarray, b: jnp.ndarray, interpret: bool = False):
+    """Both directions via the Pallas kernel (forward only; wrap with the XLA op's
+    custom_vjp when gradients are needed)."""
+    def tile_for(n):
+        for t in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+            if n % t == 0:
+                return t
+        return 1
+
+    da = chamfer_min_dists_pallas(a, b, n_tile=tile_for(a.shape[1]),
+                                  m_tile=tile_for(b.shape[1]), interpret=interpret)
+    db = chamfer_min_dists_pallas(b, a, n_tile=tile_for(b.shape[1]),
+                                  m_tile=tile_for(a.shape[1]), interpret=interpret)
+    return da, db

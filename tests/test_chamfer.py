@@ -1,0 +1,72 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hspose_tpu.ops.chamfer import (
+    chamfer_distance,
+    chamfer_distance_pallas,
+    chamfer_loss,
+)
+
+
+def _brute_chamfer(a, b):
+    d = ((a[:, :, None] - b[:, None]) ** 2).sum(-1)
+    return d.min(-1), d.min(-2)
+
+
+class TestChamferXLA:
+    def test_matches_bruteforce(self, rng):
+        a = rng.normal(size=(2, 64, 3)).astype(np.float32)
+        b = rng.normal(size=(2, 48, 3)).astype(np.float32)
+        da, db = chamfer_distance(jnp.asarray(a), jnp.asarray(b))
+        ea, eb = _brute_chamfer(a.astype(np.float64), b.astype(np.float64))
+        np.testing.assert_allclose(np.asarray(da), ea, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(db), eb, atol=1e-4)
+
+    def test_zero_for_identical_clouds(self, rng):
+        a = rng.normal(size=(1, 32, 3)).astype(np.float32)
+        da, db = chamfer_distance(jnp.asarray(a), jnp.asarray(a))
+        np.testing.assert_allclose(np.asarray(da), 0.0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(db), 0.0, atol=1e-5)
+
+    def test_gradient_matches_finite_difference(self, rng):
+        a = rng.normal(size=(1, 12, 3)).astype(np.float64).astype(np.float32)
+        b = rng.normal(size=(1, 10, 3)).astype(np.float32)
+
+        def f(a_):
+            return chamfer_loss(a_, jnp.asarray(b))
+
+        g = jax.grad(f)(jnp.asarray(a))
+        eps = 1e-3
+        for idx in [(0, 0, 0), (0, 5, 1), (0, 11, 2)]:
+            ap = a.copy(); ap[idx] += eps
+            am = a.copy(); am[idx] -= eps
+            fd = (float(f(jnp.asarray(ap))) - float(f(jnp.asarray(am)))) / (2 * eps)
+            np.testing.assert_allclose(float(g[idx]), fd, rtol=2e-2, atol=1e-4)
+
+    def test_gradient_through_b(self, rng):
+        a = rng.normal(size=(1, 12, 3)).astype(np.float32)
+        b = rng.normal(size=(1, 10, 3)).astype(np.float32)
+
+        def f(b_):
+            return chamfer_loss(jnp.asarray(a), b_)
+
+        g = jax.grad(f)(jnp.asarray(b))
+        eps = 1e-3
+        for idx in [(0, 0, 0), (0, 9, 2)]:
+            bp = b.copy(); bp[idx] += eps
+            bm = b.copy(); bm[idx] -= eps
+            fd = (float(f(jnp.asarray(bp))) - float(f(jnp.asarray(bm)))) / (2 * eps)
+            np.testing.assert_allclose(float(g[idx]), fd, rtol=2e-2, atol=1e-4)
+
+
+class TestChamferPallas:
+    def test_interpret_matches_xla(self, rng):
+        a = rng.normal(size=(2, 128, 3)).astype(np.float32)
+        b = rng.normal(size=(2, 64, 3)).astype(np.float32)
+        da, db = chamfer_distance_pallas(jnp.asarray(a), jnp.asarray(b),
+                                         interpret=True)
+        ea, eb = chamfer_distance(jnp.asarray(a), jnp.asarray(b))
+        np.testing.assert_allclose(np.asarray(da), np.asarray(ea), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(db), np.asarray(eb), atol=1e-4)

@@ -1,0 +1,82 @@
+"""End-to-end numeric parity of the backbone + heads against the reference network.
+
+Builds the reference torch ``PoseNet9D`` with random weights (eval mode), converts
+the state dict through our torch→JAX bridge, and compares the full eval forward on
+identical inputs.  Pooling randomness is pinned to the identity permutation on both
+sides so the computation graphs align.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference not available")
+
+if os.path.isdir(REF):
+    sys.path.insert(0, REF)
+    import torch
+    import absl.flags as aflags
+
+    if not aflags.FLAGS.is_parsed():
+        import config.config  # noqa: F401
+        aflags.FLAGS(["test"])
+
+
+N = 128
+
+
+def test_eval_forward_parity(rng, monkeypatch):
+    import jax
+    import jax.numpy as jnp
+
+    aflags.FLAGS.train = 0
+    from network.fs_net_repo.PoseNet9D import PoseNet9D as TorchPoseNet
+
+    torch.manual_seed(0)
+    tmodel = TorchPoseNet().eval()
+    state_dict = {f"posenet.{k}": v for k, v in tmodel.state_dict().items()}
+
+    from hspose_tpu.config import default_config
+    from hspose_tpu.models.hspose import build_model
+    from hspose_tpu.utils.torch_convert import convert_torch_state_dict, merge_with_template
+
+    cfg = default_config()
+    model = build_model(cfg)
+    pts = rng.normal(scale=0.2, size=(2, N, 3)).astype(np.float32)
+    obj_id = np.array([1, 5], np.int64)
+
+    variables = model.init({"params": jax.random.key(0), "pool": jax.random.key(1),
+                            "dropout": jax.random.key(2)},
+                           jnp.asarray(pts), jnp.asarray(obj_id, jnp.int32), True)
+    params_c, stats_c = convert_torch_state_dict(state_dict)
+    params = merge_with_template(params_c, jax.device_get(variables["params"]))
+    stats = merge_with_template(stats_c, jax.device_get(variables["batch_stats"]))
+
+    # pin pooling to the identity permutation on both sides
+    monkeypatch.setattr(torch, "randperm",
+                        lambda n, **kw: torch.arange(n))
+    import hspose_tpu.models.layers as layers_mod
+    real_perm = jax.random.permutation
+
+    def fake_perm(key, x, **kw):
+        return jnp.arange(x) if isinstance(x, int) else real_perm(key, x, **kw)
+
+    monkeypatch.setattr(layers_mod.jax.random, "permutation", fake_perm)
+
+    with torch.no_grad():
+        t_out = tmodel(torch.tensor(pts), torch.tensor(obj_id).view(-1, 1))
+    (t_recon, t_fn, t_fd, t_ff, t_pg, t_pr, t_fg, t_fr, t_T, t_s) = t_out
+
+    out = model.apply({"params": params, "batch_stats": stats}, jnp.asarray(pts),
+                      jnp.asarray(obj_id, jnp.int32), False,
+                      rngs={"pool": jax.random.key(3)})
+
+    np.testing.assert_allclose(np.asarray(out.p_green_R), t_pg.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.p_red_R), t_pr.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.f_green_R), t_fg.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.f_red_R), t_fr.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.pred_T), t_T.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.pred_s), t_s.numpy(), atol=2e-4)
