@@ -106,6 +106,24 @@ def compute_ap_from_matches_scores(pred_match: np.ndarray, pred_scores: np.ndarr
     return float(np.sum((recalls[idx] - recalls[idx - 1]) * precisions[idx]))
 
 
+def _iou_matches(overlaps, thresholds, use_native):
+    if use_native:
+        from hspose_tpu.evaluation.native_matcher import greedy_iou_matches_native
+        out = greedy_iou_matches_native(overlaps, thresholds)
+        if out is not None:
+            return out
+    return greedy_iou_matches(overlaps, thresholds)
+
+
+def _pose_matches(errors, degree_thresholds, shift_thresholds, use_native):
+    if use_native:
+        from hspose_tpu.evaluation.native_matcher import greedy_pose_matches_native
+        out = greedy_pose_matches_native(errors, degree_thresholds, shift_thresholds)
+        if out is not None:
+            return out
+    return greedy_pose_matches(errors, degree_thresholds, shift_thresholds)
+
+
 def compute_degree_cm_mAP(final_results: List[Dict], synset_names: Sequence[str],
                           log_dir: Optional[str] = None,
                           degree_thresholds: Sequence[float] = (360,),
@@ -113,7 +131,8 @@ def compute_degree_cm_mAP(final_results: List[Dict], synset_names: Sequence[str]
                           iou_3d_thresholds: Sequence[float] = (0.1,),
                           iou_pose_thres: float = 0.1,
                           use_matches_for_pose: bool = False,
-                          plot_figure: bool = False):
+                          plot_figure: bool = False,
+                          use_native: bool = True):
     """Accumulate matches over images/classes and compute AP grids.
 
     Structure mirrors ``compute_degree_cm_mAP`` (eval_utils_v1.py:430-712); returns
@@ -191,7 +210,8 @@ def compute_degree_cm_mAP(final_results: List[Dict], synset_names: Sequence[str]
 
             overlaps = pairwise_3d_iou(cls_pred_RTs, cls_pred_scales, cls_gt_RTs,
                                        cls_gt_scales, sym_pair)
-            iou_gt_m, iou_pred_m = greedy_iou_matches(overlaps, np.asarray(iou_thres_list))
+            iou_gt_m, iou_pred_m = _iou_matches(overlaps, np.asarray(iou_thres_list),
+                                                use_native)
 
             iou_pred_matches[cls_id].append(iou_pred_m)
             iou_pred_scores[cls_id].append(np.tile(cls_pred_scores, (T, 1)))
@@ -219,8 +239,8 @@ def compute_degree_cm_mAP(final_results: List[Dict], synset_names: Sequence[str]
                 y_sym = np.zeros(len(cls_gt_RTs_pose), bool)
 
             errors = pairwise_degree_cm(cls_pred_RTs, cls_gt_RTs_pose, y_sym)
-            pose_gt_m, pose_pred_m = greedy_pose_matches(errors, degree_thres_list,
-                                                         shift_thres_list)
+            pose_gt_m, pose_pred_m = _pose_matches(errors, degree_thres_list,
+                                                   shift_thres_list, use_native)
 
             pose_pred_matches[cls_id].append(pose_pred_m)
             pose_pred_scores[cls_id].append(

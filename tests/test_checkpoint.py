@@ -24,7 +24,14 @@ def small_cfg():
 def state_and_step(small_cfg):
     model = build_model(small_cfg)
     tx, state, train_step = build_train_step(small_cfg, model, jax.random.key(0))
-    return model, tx, state, train_step
+    # the jitted step donates its input state; keep a host-side master copy and
+    # hand each test a fresh device instance
+    host_state = jax.device_get(state)
+    return model, tx, host_state, train_step
+
+
+def _fresh(host_state):
+    return jax.tree_util.tree_map(jax.numpy.asarray, host_state)
 
 
 def _tree_equal(a, b):
@@ -36,7 +43,8 @@ def _tree_equal(a, b):
 
 class TestCheckpoint:
     def test_save_restore_roundtrip(self, state_and_step, tmp_path):
-        _, tx, state, _ = state_and_step
+        _, tx, host_state, _ = state_and_step
+        state = _fresh(host_state)
         path = save_checkpoint(str(tmp_path / "ckpt"), jax.device_get(state),
                                epoch=3, seed=42)
         restored, epoch, seed = restore_checkpoint(path, state)
@@ -46,7 +54,8 @@ class TestCheckpoint:
         assert int(restored.step) == int(state.step)
 
     def test_latest_checkpoint(self, state_and_step, tmp_path):
-        _, _, state, _ = state_and_step
+        _, _, host_state, _ = state_and_step
+        state = _fresh(host_state)
         root = str(tmp_path / "many")
         save_checkpoint(root, jax.device_get(state), epoch=1, seed=0)
         save_checkpoint(root, jax.device_get(state), epoch=11, seed=0)
@@ -76,26 +85,27 @@ def _fake_batch(rng, bs, n):
 
 class TestTrainStep:
     def test_two_steps_reduce_or_change_loss(self, state_and_step, small_cfg, rng):
-        _, _, state, train_step = state_and_step
+        _, _, host_state, train_step = state_and_step
         batch = {k: jax.numpy.asarray(v) for k, v in
                  _fake_batch(rng, 4, small_cfg.data.num_points).items()}
         key = jax.random.key(5)
-        state1, m1 = train_step(state, batch, key)
+        state1, m1 = train_step(_fresh(host_state), batch, key)
         assert np.isfinite(float(m1["total_loss"]))
         assert int(state1.step) == 1
+        params1 = jax.device_get(state1.params)  # snapshot before donation
         state2, m2 = train_step(state1, batch, key)
         assert np.isfinite(float(m2["total_loss"]))
         # params actually moved
         diff = jax.tree_util.tree_map(
             lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).sum()),
-            state1.params, state2.params)
+            params1, jax.device_get(state2.params))
         assert sum(jax.tree_util.tree_leaves(diff)) > 0
 
     def test_metrics_keys(self, state_and_step, small_cfg, rng):
-        _, _, state, train_step = state_and_step
+        _, _, host_state, train_step = state_and_step
         batch = {k: jax.numpy.asarray(v) for k, v in
                  _fake_batch(rng, 4, small_cfg.data.num_points).items()}
-        _, metrics = train_step(state, batch, jax.random.key(0))
+        _, metrics = train_step(_fresh(host_state), batch, jax.random.key(0))
         assert "total_loss" in metrics and "skipped_nan" in metrics
         assert any(k.startswith("fsnet_loss/") for k in metrics)
         assert any(k.startswith("recon_loss/") for k in metrics)

@@ -54,15 +54,17 @@ def test_dp_train_step_matches_single_device(rng):
     cfg = cfg.replace(data=dataclasses.replace(cfg.data, num_points=128))
     model = build_model(cfg)
     tx, state0, train_step = build_train_step(cfg, model, jax.random.key(0))
+    host_state = jax.device_get(state0)  # master copy: train_step donates its input
     batch = {k: jax.numpy.asarray(v) for k, v in _fake_batch(rng, 8, 128).items()}
     key = jax.random.key(9)
 
     # single device
-    state_a, metrics_a = train_step(state0, batch, key)
+    state_a, metrics_a = train_step(
+        jax.tree_util.tree_map(jax.numpy.asarray, host_state), batch, key)
 
     # sharded over the 8-device mesh
     mesh = make_mesh(ParallelConfig())
-    state_b0 = replicate_state(mesh, state0)
+    state_b0 = replicate_state(mesh, host_state)
     sharded = shard_batch(mesh, {k: np.asarray(v) for k, v in batch.items()})
     state_b, metrics_b = train_step(state_b0, sharded, key)
 
