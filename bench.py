@@ -59,15 +59,16 @@ def main():
     sym = jnp.asarray(sym_host)
     key = jax.random.key(0)
 
-    # warmup / compile
+    # warmup / compile.  NB: block_until_ready does not await completion on the
+    # tunneled axon backend — force a host fetch to synchronize.
     RT, s = forward(pc, obj_id, sym, key)
-    RT.block_until_ready()
+    np.asarray(RT)
 
     iters = 30
     t0 = time.perf_counter()
     for i in range(iters):
         RT, s = forward(pc, obj_id, sym, jax.random.fold_in(key, i))
-    RT.block_until_ready()
+    np.asarray(RT)
     elapsed = time.perf_counter() - t0
 
     crops_per_sec = B * iters / elapsed

@@ -150,27 +150,36 @@ class HSLayer(nn.Module):
             jnp.linalg.norm(directions, axis=0, keepdims=True), 1e-12)
         dir_norm = dir_norm.astype(rf_norm.dtype)
 
-        projected = feature_map.astype(self.dtype) @ weights.astype(self.dtype) + bias
-        feature_center = projected[..., :co]  # (B, N, co)
-
         if self.support_scan:
-            # scan over supports: peak (B, N, K, co) instead of (B, N, K, s·co)
+            feature_center = (feature_map.astype(self.dtype)
+                              @ weights[:, :co].astype(self.dtype) + bias[:co])
+            # gather-FIRST: since the support projection is linear, gathering the
+            # input features once and projecting per support afterwards is
+            # mathematically identical to the reference's project-then-gather —
+            # one (B, N, K, Cin) gather instead of S, and the projections become
+            # MXU matmuls on the gathered tensor.  The scan keeps the peak at
+            # (B, N, K, co) instead of (B, N, K, s·co).
             dirs_s = dir_norm.reshape(3, s, co).transpose(1, 0, 2)  # (S, 3, co)
-            support_s = (projected[..., co:]
-                         .reshape(projected.shape[:-1] + (s, co))
-                         .transpose(2, 0, 1, 3))  # (S, B, N, co)
+            w_s = (weights[:, co:].reshape(self.in_channel, s, co)
+                   .transpose(1, 0, 2))  # (S, Cin, co)
+            b_s = bias[co:].reshape(s, co)
+            gathered_in = gather_neighbors(feature_map.astype(self.dtype), rf_idx)
 
             def body(carry, inp):
-                dir_s, sup_s = inp
+                dir_s, w, bb = inp
                 theta_s = jax.nn.relu(jnp.einsum("bnkd,dc->bnkc", rf_norm, dir_s))
-                gathered = gather_neighbors(sup_s, rf_idx)  # (B, N, K, co)
-                return carry + jnp.max(theta_s * gathered, axis=2), None
+                proj_s = jnp.einsum("bnki,ic->bnkc", gathered_in,
+                                    w.astype(self.dtype)) + bb
+                return carry + jnp.max(theta_s * proj_s, axis=2), None
 
             total, _ = jax.lax.scan(
                 body, jnp.zeros(rf_norm.shape[:2] + (co,), rf_norm.dtype),
-                (dirs_s, support_s))
+                (dirs_s, w_s, b_s))
             activation = total / s
         else:
+            projected = (feature_map.astype(self.dtype)
+                         @ weights.astype(self.dtype) + bias)
+            feature_center = projected[..., :co]
             theta = jax.nn.relu(jnp.einsum("bnkd,ds->bnks", rf_norm, dir_norm))
             feature_support = gather_neighbors(projected[..., co:], rf_idx)
             act = theta * feature_support

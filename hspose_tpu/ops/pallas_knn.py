@@ -1,0 +1,106 @@
+"""Fused Pallas KNN kernel: pairwise distances + k-smallest selection on-chip.
+
+Why: XLA's sort-based ``top_k`` dominates the backbone's runtime (~106-138 ms per
+(256, 1028, 1028) selection on v5e — ~80× the HBM bandwidth bound).  This kernel
+keeps a (TQ, N) distance tile in VMEM (computed on the MXU/VPU from the raw
+points/features) and extracts the k smallest per row by iterative masked min — k
+vector reductions instead of a full sort, never materializing the B·N² matrix in
+HBM.
+
+Semantics match ``ops.knn.knn_indices`` (reference ``gcn3d.get_neighbor_index``
+:15-24): k+1 smallest including self, self dropped by the caller.  Ties resolve to
+the lowest index (first occurrence), like a stable sort.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 3.4e38  # python float: jnp scalars may not be captured by kernels
+
+
+def _knn_kernel(x_ref, q_ref, out_ref, *, k: int, n_valid: int, use_mxu: bool):
+    """One (batch, query-tile) program.
+
+    x_ref: (1, Npad, D) all source points in VMEM;
+    q_ref: (1, TQ, D) query tile; out_ref: (1, TQ, k) int32 neighbour indices.
+    """
+    x = x_ref[0]  # (Npad, D)
+    q = q_ref[0]  # (TQ, D)
+    npad = x.shape[0]
+    tq = q.shape[0]
+
+    if use_mxu:
+        inner = jax.lax.dot_general(
+            q, x, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (TQ, Npad)
+        q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
+        x_sq = jnp.sum(x * x, axis=-1)
+        d = q_sq + x_sq[None, :] - 2.0 * inner
+    else:
+        # low-D (xyz) path: 3 fused VPU passes beat a D=3 MXU contraction
+        d = jnp.zeros((tq, npad), jnp.float32)
+        for dim in range(q.shape[1]):
+            diff = q[:, dim:dim + 1] - x[:, dim][None, :]
+            d = d + diff * diff
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (tq, npad), 1)
+    d = jnp.where(col < n_valid, d, _BIG)  # mask padded source points
+
+    def extract(j, carry):
+        d = carry
+        m = jnp.min(d, axis=1, keepdims=True)  # (TQ, 1)
+        # first-occurrence argmin via index-min over the tie set
+        idx = jnp.min(jnp.where(d <= m, col, npad), axis=1)  # (TQ,)
+        out_ref[0, :, j] = idx
+        d = jnp.where(col == idx[:, None], _BIG, d)
+        return d
+
+    jax.lax.fori_loop(0, k, extract, d, unroll=True)
+
+
+def _pad_to(x, n, axis, value=0.0):
+    pad = n - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tq", "interpret"))
+def knn_indices_pallas(points: jnp.ndarray, k: int, tq: int = 128,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Indices of the k nearest neighbours excluding self: (B, N, D) -> (B, N, k).
+
+    Drop-in replacement for ``ops.knn.knn_indices`` built on the fused kernel.
+    """
+    B, N, D = points.shape
+    npad = ((N + 127) // 128) * 128
+    nq = ((N + tq - 1) // tq) * tq
+    # pad source with far-away sentinels, queries with zeros (rows sliced off)
+    x = _pad_to(points.astype(jnp.float32), npad, 1)
+    q = _pad_to(points.astype(jnp.float32), nq, 1)
+    use_mxu = D > 8
+    if not use_mxu and D < 3:
+        raise ValueError("D must be >= 3")
+
+    kk = k + 1  # include self, dropped below
+    grid = (B, nq // tq)
+    out = pl.pallas_call(
+        functools.partial(_knn_kernel, k=kk, n_valid=N, use_mxu=use_mxu),
+        out_shape=jax.ShapeDtypeStruct((B, nq, kk), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, npad, D), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, tq, D), lambda i, j: (i, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tq, kk), lambda i, j: (i, j, 0)),
+        interpret=interpret,
+    )(x, q)
+    return out[:, :N, 1:]
