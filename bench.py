@@ -25,6 +25,11 @@ ASSUMED_3090_CROPS_PER_SEC = 200.0
 
 def main():
     import jax
+
+    # persistent compile cache: the remote-tunnel TPU compile of the full model is
+    # minutes; cache it across bench invocations
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from hspose_tpu.config import default_config

@@ -9,10 +9,12 @@ chamfer distance).  See SURVEY.md for the structural map of the reference.
 
 import jax as _jax
 
-# Full-precision matmuls by default: the pose math lives in 3×3 rotation algebra and
-# N² KNN distances where the bf16 default quantum (~1e-2) is catastrophic.  Hot model
-# layers opt into lower precision explicitly via their dtype attribute.
-_jax.config.update("jax_default_matmul_precision", "highest")
+# f32-accurate matmuls by default: the pose math lives in 3×3 rotation algebra and
+# N² KNN distances where the TPU bf16 default quantum (~1e-2) is catastrophic.
+# 'high' (bf16x3) carries ~f32 accuracy at 2× the speed of 'highest' (6-pass);
+# the few places that need bit-exactness (KNN distances, one-hot gathers) pin
+# Precision.HIGHEST explicitly.
+_jax.config.update("jax_default_matmul_precision", "high")
 
 from hspose_tpu.config import HSPoseConfig, default_config
 

@@ -18,7 +18,7 @@ from flax import linen as nn
 
 from hspose_tpu.config import ModelConfig
 from hspose_tpu.models.layers import HSLayer, HSLayerSurface, pool_layer, torch_linear_init
-from hspose_tpu.ops.knn import gather_neighbors, knn_indices, nearest_index
+from hspose_tpu.ops.knn import gather_neighbors, knn_indices_fast as knn_indices, nearest_index
 
 
 def _bn(name: str, train: bool):

@@ -98,7 +98,8 @@ def _chamfer_kernel(a_ref, b_ref, out_ref, *, m_tile: int):
         b_sq = jnp.sum(b_blk * b_blk, axis=-1)  # (TM,)
         inner = jax.lax.dot_general(
             a, b_blk, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (TN, TM)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # Mosaic supports DEFAULT/HIGHEST only
         d = a_sq + b_sq[None, :] - 2.0 * inner
         return jnp.minimum(best, jnp.min(d, axis=-1))
 

@@ -38,7 +38,8 @@ def _knn_kernel(x_ref, q_ref, out_ref, *, k: int, n_valid: int, use_mxu: bool):
     if use_mxu:
         inner = jax.lax.dot_general(
             q, x, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (TQ, Npad)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # Mosaic supports DEFAULT/HIGHEST only
         q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
         x_sq = jnp.sum(x * x, axis=-1)
         d = q_sq + x_sq[None, :] - 2.0 * inner
