@@ -90,7 +90,11 @@ class HSLayerSurface(nn.Module):
             jnp.linalg.norm(directions, axis=0, keepdims=True), 1e-12)
         dir_norm = dir_norm.astype(rf_norm.dtype)
 
-        if self.support_scan:
+        if self.support_scan and jax.devices()[0].platform == "tpu":
+            from hspose_tpu.ops.pallas_hs import hs_surface_reduce
+
+            feature = hs_surface_reduce(rf_norm, dir_norm, s, k)
+        elif self.support_scan:
             dirs_s = dir_norm.reshape(3, s, k).transpose(1, 0, 2)  # (S, 3, C)
 
             def body(carry, dir_s):
@@ -98,7 +102,8 @@ class HSLayerSurface(nn.Module):
                 return carry + jnp.max(theta_s, axis=2), None
 
             total, _ = jax.lax.scan(
-                body, jnp.zeros(rf_norm.shape[:2] + (k,), rf_norm.dtype), dirs_s)
+                body, jnp.zeros(rf_norm.shape[:2] + (k,), rf_norm.dtype), dirs_s,
+                unroll=True)
             feature = total / s
         else:
             theta = jax.nn.relu(
@@ -150,7 +155,15 @@ class HSLayer(nn.Module):
             jnp.linalg.norm(directions, axis=0, keepdims=True), 1e-12)
         dir_norm = dir_norm.astype(rf_norm.dtype)
 
-        if self.support_scan:
+        if self.support_scan and jax.devices()[0].platform == "tpu":
+            from hspose_tpu.ops.pallas_hs import hs_support_reduce
+
+            feature_center = (feature_map.astype(self.dtype)
+                              @ weights[:, :co].astype(self.dtype) + bias[:co])
+            gathered_in = gather_neighbors(feature_map.astype(self.dtype), rf_idx)
+            activation = hs_support_reduce(gathered_in, rf_norm, weights[:, co:],
+                                           bias[co:], dir_norm, s, co)
+        elif self.support_scan:
             feature_center = (feature_map.astype(self.dtype)
                               @ weights[:, :co].astype(self.dtype) + bias[:co])
             # gather-FIRST: since the support projection is linear, gathering the
@@ -172,9 +185,11 @@ class HSLayer(nn.Module):
                                     w.astype(self.dtype)) + bb
                 return carry + jnp.max(theta_s * proj_s, axis=2), None
 
+            # fully unrolled: a rolled scan forces theta_s/proj_s to materialize in
+            # HBM every iteration (~77 GB of avoidable traffic at batch 256)
             total, _ = jax.lax.scan(
                 body, jnp.zeros(rf_norm.shape[:2] + (co,), rf_norm.dtype),
-                (dirs_s, w_s, b_s))
+                (dirs_s, w_s, b_s), unroll=True)
             activation = total / s
         else:
             projected = (feature_map.astype(self.dtype)
