@@ -20,7 +20,13 @@ from dataclasses import asdict
 import jax
 import numpy as np
 
+import dataclasses
+
 from hspose_tpu.config import HSPoseConfig, parse_overrides
+
+
+def dataclasses_replace_dp(parallel_cfg, dp):
+    return dataclasses.replace(parallel_cfg, dp=dp)
 from hspose_tpu.engine.checkpoint import restore_checkpoint, save_checkpoint
 from hspose_tpu.engine.train_step import build_train_step
 from hspose_tpu.models.hspose import build_model
@@ -44,7 +50,12 @@ def train(cfg: HSPoseConfig):
         logger.info("resumed from %s at epoch %d (seed %d)",
                     cfg.train.resume_model, s_epoch, seed)
 
-    mesh = make_mesh(cfg.parallel)
+    # the data axis must divide the batch: use the largest qualifying mesh
+    n_dev = len(jax.devices())
+    dp = cfg.parallel.dp if cfg.parallel.dp > 0 else n_dev
+    while cfg.train.batch_size % dp != 0:
+        dp -= 1
+    mesh = make_mesh(dataclasses_replace_dp(cfg.parallel, dp))
     logger.info("device mesh: %s", mesh)
 
     from hspose_tpu.data.dataset import PoseTrainDataset, train_batches

@@ -114,7 +114,7 @@ def load_eval_images(cfg: HSPoseConfig, seed: int, num_workers: int = 8,
     def load(i):
         return ds.get_image(i, np.random.default_rng(np.random.SeedSequence([seed, i])))
 
-    with ThreadPoolExecutor(max_workers=num_workers) as ex:
+    with ThreadPoolExecutor(max_workers=max(num_workers, 1)) as ex:
         records = list(ex.map(load, range(n)))
     return [r for r in records if r is not None]
 

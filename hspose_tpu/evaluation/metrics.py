@@ -132,7 +132,8 @@ def compute_degree_cm_mAP(final_results: List[Dict], synset_names: Sequence[str]
                           iou_pose_thres: float = 0.1,
                           use_matches_for_pose: bool = False,
                           plot_figure: bool = False,
-                          use_native: bool = True):
+                          use_native: bool = True,
+                          eval_recon: bool = False):
     """Accumulate matches over images/classes and compute AP grids.
 
     Structure mirrors ``compute_degree_cm_mAP`` (eval_utils_v1.py:430-712); returns
@@ -276,6 +277,14 @@ def compute_degree_cm_mAP(final_results: List[Dict], synset_names: Sequence[str]
     iou_3d_aps[-1] = np.mean(iou_3d_aps[1:-1], axis=0)
     pose_aps[-1] = np.mean(pose_aps[1:-1], axis=0)
 
+    if eval_recon:
+        recon_stats = aggregate_recon_metrics(final_results, synset_names)
+        if log_dir is not None:
+            os.makedirs(log_dir, exist_ok=True)
+            import json
+            with open(os.path.join(log_dir, "recon_metrics.json"), "w") as f:
+                json.dump(recon_stats, f, indent=2)
+
     if log_dir is not None:
         os.makedirs(log_dir, exist_ok=True)
         np.savez(os.path.join(log_dir, "mAP_data.npz"), pose_aps=pose_aps,
@@ -287,6 +296,36 @@ def compute_degree_cm_mAP(final_results: List[Dict], synset_names: Sequence[str]
                             iou_thres_list, degree_thres_list, shift_thres_list,
                             use_matches_for_pose)
     return iou_3d_aps, pose_aps
+
+
+def aggregate_recon_metrics(final_results, synset_names):
+    """Per-class chamfer/EMD means over per-instance reconstruction distances.
+
+    Matches the reference's ``eval_recon`` branch (eval_utils_v1.py:672-707):
+    results carry 'chamfer_dis_cass' / 'emd_dis_cass' arrays per detection.  Use
+    ``hspose_tpu.ops.chamfer.chamfer_distance`` to produce them during inference.
+    """
+    cmf = {c: [] for c in synset_names}
+    emd = {c: [] for c in synset_names}
+    for result in final_results:
+        pred_class_ids = np.asarray(result.get("pred_class_ids", []))
+        if len(pred_class_ids) == 0 or "chamfer_dis_cass" not in result:
+            continue
+        cd = np.asarray(result["chamfer_dis_cass"])
+        ed = np.asarray(result.get("emd_dis_cass", np.zeros_like(cd)))
+        for cls_id in range(1, len(synset_names)):
+            sel = pred_class_ids == cls_id
+            if sel.any():
+                cmf[synset_names[cls_id]] += cd[sel].tolist()
+                emd[synset_names[cls_id]] += ed[sel].tolist()
+
+    out = {"cmf": {}, "emd": {}}
+    for key, store in [("cmf", cmf), ("emd", emd)]:
+        vals = {k: float(np.mean(v)) for k, v in store.items() if k != "BG" and v}
+        if vals:
+            vals["mean"] = float(np.mean(list(vals.values())))
+        out[key] = vals
+    return out
 
 
 def plot_map_curves(log_dir, synset_names, iou_3d_aps, pose_aps, iou_thres_list,

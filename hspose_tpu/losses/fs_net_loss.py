@@ -91,6 +91,8 @@ def fs_net_loss(cfg: LossConfig, name_list, pred, gt, sym) -> Dict[str, jnp.ndar
     if "Rot_regular" in name_list:
         out["Rot_r_a"] = cfg.rot_regular * rot_regular_angle(pred["Rot1"], pred["Rot2"],
                                                              sym, bs)
+    if "Recon" in name_list:  # defined but outside the PoseNet_only set (ref :54-61)
+        out["Recon"] = cfg.recon_w * f(pred["Recon"], gt["Recon"])
     if "Tran" in name_list:
         out["Tran"] = cfg.tran_w * f(pred["Tran"], gt["Tran"])
     if "Size" in name_list:

@@ -19,6 +19,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from hspose_tpu.config import ParallelConfig
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host bring-up over DCN (no-op on a single host).
+
+    On TPU pods the arguments come from the environment; pass them explicitly for
+    manual launches.  Returns the process count.  After this, ``make_mesh`` over
+    ``jax.devices()`` spans all hosts and the same DP train step runs unchanged —
+    XLA routes the gradient all-reduce over ICI within a slice and DCN across.
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    return jax.process_count()
+
+
 def make_mesh(cfg: ParallelConfig, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     dp = cfg.dp if cfg.dp > 0 else len(devices)

@@ -1,0 +1,67 @@
+"""Full CLI slices over the synthetic NOCS fixture: train 2 steps + checkpoint,
+then evaluate from that checkpoint through the mAP tables."""
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+import pytest
+
+from hspose_tpu.config import default_config
+
+from test_data_pipeline import nocs_root, data_cfg  # noqa: F401  (fixtures)
+
+
+@pytest.fixture
+def train_cfg(data_cfg, tmp_path):
+    cfg = default_config()
+    return cfg.replace(
+        data=dataclasses.replace(data_cfg, num_points=128, num_workers=0),
+        train=dataclasses.replace(cfg.train, batch_size=2, total_epoch=1,
+                                  train_steps=2, save_every=1, log_every=1,
+                                  seed=7, model_save=str(tmp_path / "out")),
+        eval=dataclasses.replace(cfg.eval, eval_batch=4, eval_seed=3),
+    )
+
+
+def test_train_then_evaluate(train_cfg):
+    from hspose_tpu.engine.train import train
+
+    state = train(train_cfg)
+    assert int(state.step) == 2
+
+    ckpt_root = train_cfg.train.model_save
+    ckpts = [d for d in os.listdir(ckpt_root) if d.startswith("model_")]
+    assert ckpts, os.listdir(ckpt_root)
+    metrics_file = os.path.join(ckpt_root, "metrics.jsonl")
+    assert os.path.exists(metrics_file)
+    rec = json.loads(open(metrics_file).readline())
+    assert "total_loss" in rec and np.isfinite(rec["total_loss"])
+
+    # evaluate from the orbax checkpoint through the mAP tables
+    from hspose_tpu.evaluation.evaluate import evaluate
+
+    cfg = train_cfg.replace(
+        train=dataclasses.replace(train_cfg.train, resume_model=os.path.join(
+            ckpt_root, sorted(ckpts)[-1])))
+    results = evaluate(cfg)
+    for key in ["IoU25", "IoU75", "5d2cm", "10d5cm"]:
+        assert key in results
+        assert 0.0 <= results[key] <= 100.0 or np.isnan(results[key])
+    out_dirs = [d for d in os.listdir(ckpt_root) if d.startswith("eval_result")]
+    assert out_dirs
+    eval_dir = os.path.join(ckpt_root, out_dirs[0])
+    assert os.path.exists(os.path.join(eval_dir, "pred_result.pkl"))
+    assert os.path.exists(os.path.join(eval_dir, "mAP_data.npz"))
+
+
+def test_config_cli_overrides():
+    from hspose_tpu.config import parse_overrides
+
+    cfg = parse_overrides(["train.batch_size=8", "--data.dataset=CAMERA",
+                           "optim.lr=0.001", "eval.eval_inference_only=true"])
+    assert cfg.train.batch_size == 8
+    assert cfg.data.dataset == "CAMERA"
+    assert cfg.optim.lr == 0.001
+    assert cfg.eval.eval_inference_only is True
