@@ -74,7 +74,7 @@ class HSLayerSurface(nn.Module):
 
     @nn.compact
     def __call__(self, vertices: jnp.ndarray, rf_idx: jnp.ndarray,
-                 orl_idx: jnp.ndarray) -> jnp.ndarray:
+                 orl_idx: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         s, k = self.support_num, self.kernel_num
         directions = self.param("directions", uniform_init(1.0 / (s * k) ** 0.5), (3, s * k))
         ste = nn.Dense(k, use_bias=False, name="STE_layer",
@@ -90,7 +90,8 @@ class HSLayerSurface(nn.Module):
             jnp.linalg.norm(directions, axis=0, keepdims=True), 1e-12)
         dir_norm = dir_norm.astype(rf_norm.dtype)
 
-        if self.support_scan and jax.devices()[0].platform == "tpu":
+        # the fused Pallas kernel is forward-only (no VJP yet): inference path only
+        if self.support_scan and not train and jax.devices()[0].platform == "tpu":
             from hspose_tpu.ops.pallas_hs import hs_surface_reduce
 
             feature = hs_surface_reduce(rf_norm, dir_norm, s, k)
@@ -136,7 +137,8 @@ class HSLayer(nn.Module):
 
     @nn.compact
     def __call__(self, vertices: jnp.ndarray, feature_map: jnp.ndarray,
-                 rf_idx: jnp.ndarray, orl_idx: jnp.ndarray) -> jnp.ndarray:
+                 rf_idx: jnp.ndarray, orl_idx: jnp.ndarray,
+                 train: bool = False) -> jnp.ndarray:
         s, co = self.support_num, self.out_channel
         stdv = 1.0 / (co * (s + 1)) ** 0.5
         weights = self.param("weights", uniform_init(stdv), (self.in_channel, (s + 1) * co))
@@ -155,7 +157,8 @@ class HSLayer(nn.Module):
             jnp.linalg.norm(directions, axis=0, keepdims=True), 1e-12)
         dir_norm = dir_norm.astype(rf_norm.dtype)
 
-        if self.support_scan and jax.devices()[0].platform == "tpu":
+        # the fused Pallas kernel is forward-only (no VJP yet): inference path only
+        if self.support_scan and not train and jax.devices()[0].platform == "tpu":
             from hspose_tpu.ops.pallas_hs import hs_support_reduce
 
             feature_center = (feature_map.astype(self.dtype)

@@ -74,12 +74,16 @@ def _pad_to(x, n, axis, value=0.0):
     return jnp.pad(x, widths, constant_values=value)
 
 
+@functools.partial(jax.custom_jvp, nondiff_argnums=(1, 2, 3))
 @functools.partial(jax.jit, static_argnames=("k", "tq", "interpret"))
 def knn_indices_pallas(points: jnp.ndarray, k: int, tq: int = 128,
                        interpret: bool = False) -> jnp.ndarray:
     """Indices of the k nearest neighbours excluding self: (B, N, D) -> (B, N, k).
 
     Drop-in replacement for ``ops.knn.knn_indices`` built on the fused kernel.
+    Integer outputs carry no tangents; the custom_jvp below makes that explicit so
+    the kernel can sit inside differentiated training graphs (pallas_call itself
+    has no autodiff rule).
     """
     B, N, D = points.shape
     npad = ((N + 127) // 128) * 128
@@ -105,3 +109,13 @@ def knn_indices_pallas(points: jnp.ndarray, k: int, tq: int = 128,
         interpret=interpret,
     )(x, q)
     return out[:, :N, 1:]
+
+
+@knn_indices_pallas.defjvp
+def _knn_indices_jvp(k, tq, interpret, primals, tangents):
+    import numpy as _np
+
+    (points,) = primals
+    out = knn_indices_pallas(points, k, tq, interpret)
+    tangent = _np.zeros(out.shape, dtype=jax.dtypes.float0)
+    return out, tangent
