@@ -70,7 +70,7 @@ class ModelConfig:
     gcn_n_num: int = 20
     obj_c: int = 6
     # TPU-specific knobs (no reference equivalent)
-    knn_impl: str = "xla"  # 'xla' | 'pallas'
+    knn_impl: str = "auto"  # 'auto' (pallas on TPU) | 'xla' | 'pallas'
     compute_dtype: str = "float32"  # matmul dtype for the backbone
 
 

@@ -18,7 +18,12 @@ from flax import linen as nn
 
 from hspose_tpu.config import ModelConfig
 from hspose_tpu.models.layers import HSLayer, HSLayerSurface, pool_layer, torch_linear_init
-from hspose_tpu.ops.knn import gather_neighbors, knn_indices_fast as knn_indices, nearest_index
+from hspose_tpu.ops.knn import (
+    gather_neighbors,
+    knn_indices as knn_indices_xla,
+    knn_indices_fast,
+    nearest_index,
+)
 
 
 def _bn(name: str, train: bool):
@@ -66,6 +71,14 @@ class FaceRecon(nn.Module):
         cfg = self.cfg
         k = cfg.gcn_n_num
         B, N, _ = vertices.shape
+
+        if cfg.knn_impl == "xla":
+            knn_indices = knn_indices_xla
+        elif cfg.knn_impl == "pallas":
+            from hspose_tpu.ops.pallas_knn import knn_indices_pallas
+            knn_indices = knn_indices_pallas
+        else:  # auto: fused Pallas kernel on TPU, XLA elsewhere
+            knn_indices = knn_indices_fast
 
         one_hot = jax.nn.one_hot(cat_id.astype(jnp.int32).reshape(B), cfg.obj_c,
                                  dtype=vertices.dtype)
