@@ -76,6 +76,18 @@ def aug_bbox_dzi(rng: np.random.Generator, bbox_xyxy: np.ndarray, im_h: int, im_
         sh = shift_ratio * (2 * rng.random(2) - 1)
         center = np.array([cx + bw * sh[0], cy + bh * sh[1]])
         scale = max(y2 - y1, x2 - x1) * s_ratio * pad_scale
+    elif dzi_type.lower() == "roi10d":
+        # shift each box edge by up to ±15% (tools/dataset_utils.py:42-55)
+        x1 += bw * rng.uniform(-0.15, 0.15)
+        x2 += bw * rng.uniform(-0.15, 0.15)
+        y1 += bh * rng.uniform(-0.15, 0.15)
+        y2 += bh * rng.uniform(-0.15, 0.15)
+        x1 = min(max(x1, 0), im_w)
+        x2 = min(max(x2, 0), im_w)
+        y1 = min(max(y1, 0), im_h)
+        y2 = min(max(y2, 0), im_h)
+        center = np.array([0.5 * (x1 + x2), 0.5 * (y1 + y2)])
+        scale = max(y2 - y1, x2 - x1) * pad_scale
     else:
         center = np.array([cx, cy])
         scale = max(y2 - y1, x2 - x1)

@@ -95,7 +95,21 @@ def train_forward(cfg: HSPoseConfig, model: PoseNet9D, params, batch_stats,
     (datasets/load_data.py:285-299): pcl_in, cat_id, rotation, translation,
     fsnet_scale, mean_shape, sym_info, aug_bb, aug_rt_t, aug_rt_R, model_point,
     nocs_scale.  Returns (total_loss, (loss_dicts, new_batch_stats)).
+
+    Fused preprocessing: when the loader runs in ``sample_mode='device'`` the batch
+    ships roi_depth/roi_mask/roi_coord/cam_k crops instead of ``pcl_in`` and the
+    depth→cloud back-projection + fixed-size sampling happen here, on device,
+    inside the same jitted step (the reference's host-side ``_depth_to_pcl`` /
+    net-side ``PC_sample``).
     """
+    if "pcl_in" not in batch:
+        from hspose_tpu.data.preprocess import roi_to_pointcloud
+
+        pcl, _ = roi_to_pointcloud(rngs["augment"], batch["roi_depth"],
+                                   batch["roi_mask"], batch["roi_coord"],
+                                   batch["cam_k"], cfg.data.num_points)
+        batch = dict(batch, pcl_in=pcl)
+
     obj_id = batch["cat_id"].astype(jnp.int32)
     aug = augment_batch(
         rngs["augment"], cfg.aug,
