@@ -30,7 +30,7 @@ def dataclasses_replace_dp(parallel_cfg, dp):
 from hspose_tpu.engine.checkpoint import restore_checkpoint, save_checkpoint
 from hspose_tpu.engine.train_step import build_train_step
 from hspose_tpu.models.hspose import build_model
-from hspose_tpu.parallel.mesh import make_mesh, shard_batch
+from hspose_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch
 from hspose_tpu.utils.logging import MetricWriter, setup_logger
 
 
@@ -57,6 +57,9 @@ def train(cfg: HSPoseConfig):
         dp -= 1
     mesh = make_mesh(dataclasses_replace_dp(cfg.parallel, dp))
     logger.info("device mesh: %s", mesh)
+    # replicate params/opt state across the mesh (restored checkpoints arrive
+    # committed to a single device, which conflicts with mesh-sharded batches)
+    state = replicate_state(mesh, jax.device_get(state))
 
     from hspose_tpu.data.dataset import PoseTrainDataset, train_batches
 
