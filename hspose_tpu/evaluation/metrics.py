@@ -85,6 +85,14 @@ def greedy_pose_matches(errors: np.ndarray, degree_thresholds: Sequence[float],
     return gt_matches, pred_matches
 
 
+def compute_accuracy_from_matches(gt_match: np.ndarray) -> float:
+    """Recall-style accuracy: matched gts / total gts (the legacy NOCS
+    ``compute_mAP`` 'acc' output, evaluation/eval_utils.py:296-464)."""
+    if len(gt_match) == 0:
+        return 0.0
+    return float(np.mean(gt_match > -1))
+
+
 def compute_ap_from_matches_scores(pred_match: np.ndarray, pred_scores: np.ndarray,
                                    gt_match: np.ndarray) -> float:
     """VOC AP (evaluation/eval_utils_v1.py:330-356)."""
@@ -151,6 +159,8 @@ def compute_degree_cm_mAP(final_results: List[Dict], synset_names: Sequence[str]
 
     iou_3d_aps = np.zeros((num_classes + 1, T))
     pose_aps = np.zeros((num_classes + 1, D, S))
+    iou_acc = np.zeros((num_classes + 1, T))
+    pose_acc = np.zeros((num_classes + 1, D, S))
 
     iou_pred_matches = [[] for _ in range(num_classes)]
     iou_pred_scores = [[] for _ in range(num_classes)]
@@ -262,6 +272,7 @@ def compute_degree_cm_mAP(final_results: List[Dict], synset_names: Sequence[str]
         for s in range(T):
             iou_3d_aps[cls_id, s] = compute_ap_from_matches_scores(
                 ipm[s], ips[s], igm[s])
+            iou_acc[cls_id, s] = compute_accuracy_from_matches(igm[s])
 
         ppm = (np.concatenate(pose_pred_matches[cls_id], axis=-1)
                if pose_pred_matches[cls_id] else np.zeros((D, S, 0)))
@@ -273,9 +284,12 @@ def compute_degree_cm_mAP(final_results: List[Dict], synset_names: Sequence[str]
             for j in range(S):
                 pose_aps[cls_id, i, j] = compute_ap_from_matches_scores(
                     ppm[i, j], pps[i, j], pgm[i, j])
+                pose_acc[cls_id, i, j] = compute_accuracy_from_matches(pgm[i, j])
 
     iou_3d_aps[-1] = np.mean(iou_3d_aps[1:-1], axis=0)
     pose_aps[-1] = np.mean(pose_aps[1:-1], axis=0)
+    iou_acc[-1] = np.mean(iou_acc[1:-1], axis=0)
+    pose_acc[-1] = np.mean(pose_acc[1:-1], axis=0)
 
     if eval_recon:
         recon_stats = aggregate_recon_metrics(final_results, synset_names)
@@ -290,7 +304,7 @@ def compute_degree_cm_mAP(final_results: List[Dict], synset_names: Sequence[str]
         np.savez(os.path.join(log_dir, "mAP_data.npz"), pose_aps=pose_aps,
                  degree_thres_list=degree_thres_list,
                  shift_thres_list=shift_thres_list, iou_thres_list=iou_thres_list,
-                 iou_3d_aps=iou_3d_aps)
+                 iou_3d_aps=iou_3d_aps, iou_acc=iou_acc, pose_acc=pose_acc)
         if plot_figure:
             plot_map_curves(log_dir, synset_names, iou_3d_aps, pose_aps,
                             iou_thres_list, degree_thres_list, shift_thres_list,
