@@ -75,9 +75,16 @@ def train(cfg: HSPoseConfig):
         batches = train_batches(dataset, cfg.train.batch_size, cfg.train.train_steps,
                                 seed=seed + epoch * 997, num_workers=cfg.data.num_workers,
                                 prefetch=cfg.data.prefetch)
+        profile_dir = os.environ.get("HSPOSE_PROFILE_DIR")
         for i, batch in enumerate(batches):
+            # on-demand device tracing (SURVEY §5.1): steps 10-14 of each epoch
+            if profile_dir and i == 10 and epoch == s_epoch:
+                jax.profiler.start_trace(profile_dir)
             batch = shard_batch(mesh, batch)
             state, metrics = train_step(state, batch, data_key)
+            if profile_dir and i == 14 and epoch == s_epoch:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
             step = int(epoch) * cfg.train.train_steps + i
             if i % cfg.train.log_every == 0:
                 host_metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
