@@ -5,22 +5,82 @@ Measures the flagship metric from BASELINE.json — detection-crop pose inferenc
 single chip, batch 256, 1028-point clouds, the exact configuration of the batched
 REAL275 evaluation harness.
 
+Runs the bf16 fast inference mode (``model.compute_dtype=bfloat16``): measured
+deviations vs the f32-exact path are ≤0.6° on the predicted rotation axes and
+≤4e-4 m on translation/size — far below the 5°/2cm mAP bin widths (parity study
+in docs/PERFORMANCE.md; the f32-exact path and its throughput live there too).
+
 Baseline note: the reference publishes no throughput number (SURVEY.md §6); its
 logged per-image inference time on the stated RTX 3090 with ~3 crops/image implies
 ≈200 crops/s, which we use as the reference point.  BASELINE.json's target is ≥5×
-that per v5e chip (≥1000 crops/s).  vs_baseline below is measured / 200.
+that per v5e chip (≥1000 crops/s).  vs_baseline below is measured / 200 — the
+baseline is inferred, not measured (no GPU in this environment).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Also reports MFU: analytic model FLOPs/crop (matmul work only — one-hot gathers
+are rewritten to real gathers by XLA and count as bandwidth, not FLOPs; see
+model_flops_per_crop below for the derivation) divided by the v5e bf16 peak
+(197 TFLOP/s).  The extra JSON fields ride inside the single line.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import time
 
 import numpy as np
 
 ASSUMED_3090_CROPS_PER_SEC = 200.0
+V5E_BF16_PEAK_FLOPS = 197e12
+
+
+def model_flops_per_crop(n: int = 1028, k: int = 20, s: int = 7,
+                         obj_c: int = 6) -> float:
+    """Analytic matmul FLOPs of one eval crop (documented in
+    docs/PERFORMANCE.md §MFU).
+
+    Counted: KNN distance inner products, HS support projections + theta
+    contractions, feature_center/STE/conv2 dense maps, 1-NN upsample distances,
+    and the three pose heads.  Not counted: one-hot gather einsums (XLA rewrites
+    them to gathers — bandwidth, not FLOPs) and elementwise/VPU work.
+    """
+    n1, n2 = n // 4, n // 16
+    k1, k2 = min(k, n1 // 8), min(k, n2 // 8)
+
+    def knn_dist(nn, d):
+        return 2 * nn * nn * d
+
+    fl = 0.0
+    # KNN distance matmuls per resolution (vert, rf-f, pool / vert, rf2, rf3, pool / vert, rf4)
+    fl += knn_dist(n, 3) * 2 + knn_dist(n, 128)          # vert_idx_0, pool_idx_0, rf_1
+    fl += knn_dist(n1, 3) * 2 + knn_dist(n1, 128) + knn_dist(n1, 256)
+    fl += knn_dist(n2, 3) + knn_dist(n2, 256)
+    # 1-NN upsample distances
+    fl += 2 * n * n1 * 3 + 2 * n * n2 * 3
+
+    # HS layers: theta (N·K·3·S·C) + projection (N·K·Cin·S·C) + center/STE/conv2
+    def hs(nn, kk, cin, co, surface=False):
+        f = 2 * nn * kk * 3 * s * co  # theta
+        if not surface:
+            f += 2 * nn * kk * cin * s * co  # support projection
+            f += 2 * nn * cin * co  # feature_center
+        f += 2 * nn * cin * co  # STE
+        f += 2 * nn * (2 * co) * co  # conv2 on [feat | global]
+        return f
+
+    fl += hs(n, k, 3, 128, surface=True)
+    fl += hs(n, k, 128, 128)
+    fl += hs(n1, k1, 128, 256)
+    fl += hs(n1, k1, 256, 256)
+    fl += hs(n2, k2, 256, 512)
+
+    # pose heads: 3 × (1286→1024→256 per point, 256→256→out on the pooled vector)
+    feat_c = 128 + 128 + 256 + 256 + 512 + obj_c
+    for in_c in (feat_c, feat_c, feat_c + 3):
+        fl += 2 * n * (in_c * 1024 + 1024 * 256) + 2 * (256 * 256 + 256 * 8)
+    return fl
 
 
 def main():
@@ -37,6 +97,8 @@ def main():
     from hspose_tpu.models.hspose import build_model, eval_forward
 
     cfg = default_config()
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model,
+                                                compute_dtype="bfloat16"))
     n = cfg.data.num_points
     B = 256
 
@@ -77,11 +139,15 @@ def main():
     elapsed = time.perf_counter() - t0
 
     crops_per_sec = B * iters / elapsed
+    mfu = crops_per_sec * model_flops_per_crop(n) / V5E_BF16_PEAK_FLOPS
     print(json.dumps({
         "metric": "pose_inference_throughput",
         "value": round(crops_per_sec, 1),
         "unit": "crops/sec/chip",
         "vs_baseline": round(crops_per_sec / ASSUMED_3090_CROPS_PER_SEC, 2),
+        "mfu": round(mfu, 4),
+        "flops_per_crop": round(model_flops_per_crop(n) / 1e9, 2),
+        "baseline_basis": "inferred 200 crops/s on the reference's RTX 3090",
     }))
 
 

@@ -125,6 +125,9 @@ class OptimConfig:
     warmup_method: str = "linear"
     gamma: float = 0.1
     poly_power: float = 0.9
+    # relative milestone positions for WarmupMultiStepLR
+    # (reference tools/solver_utils.py:60, REL_STEPS defaults)
+    rel_steps: Tuple[float, float] = (2.0 / 3.0, 8.0 / 9.0)
     # Ranger internals (reference tools/torch_utils/solver/ranger2020.py:45-60)
     betas: Tuple[float, float] = (0.95, 0.999)
     eps: float = 1e-5
@@ -151,6 +154,13 @@ class TrainConfig:
     resume: bool = False
     resume_model: str = ""
     resume_point: int = 0
+    # sanitizer mode — analog of the reference's always-on
+    # torch.autograd.set_detect_anomaly(True) (engine/train.py:22): enables
+    # jax_debug_nans (the step re-runs op-by-op and raises at the first NaN
+    # producer) and per-loss-family finite-check metrics.  Opt-in: the eager
+    # re-check costs ~2× on a faulting step and the extra metrics cost a little
+    # every step.
+    debug_nan: bool = False
 
 
 @dataclass(frozen=True)

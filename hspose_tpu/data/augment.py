@@ -53,12 +53,17 @@ def defor_rt(pc, R, t, aug_rt_t, aug_rt_r):
     return pc_new, R_new, t_new
 
 
-def defor_bc(key, pc, R, t, s, model_point, nocs_scale):
-    """Box-cage taper along y for bowls/mugs (data_augmentation.py:106-126)."""
+def defor_bc(key, pc, R, t, s, model_point, nocs_scale, ey_up=None, ey_down=None):
+    """Box-cage taper along y for bowls/mugs (data_augmentation.py:106-126).
+
+    ``ey_up``/``ey_down`` may be injected (parity tests); drawn from ``key``
+    otherwise."""
     bs = pc.shape[0]
     k1, k2 = jax.random.split(key)
-    ey_up = jax.random.uniform(k1, (bs, 1), minval=0.8, maxval=1.2)
-    ey_down = jax.random.uniform(k2, (bs, 1), minval=0.8, maxval=1.2)
+    if ey_up is None:
+        ey_up = jax.random.uniform(k1, (bs, 1), minval=0.8, maxval=1.2)
+    if ey_down is None:
+        ey_down = jax.random.uniform(k2, (bs, 1), minval=0.8, maxval=1.2)
 
     pc_obj = _to_object(R, t, pc)
     s_y = s[:, 1:2]

@@ -40,6 +40,14 @@ def train(cfg: HSPoseConfig):
 
     seed = cfg.train.seed if cfg.train.seed != -1 else int(time.time())
 
+    if cfg.train.debug_nan:
+        # sanitizer mode: XLA re-runs the faulting computation eagerly and raises
+        # FloatingPointError at the first NaN-producing primitive — the analog of
+        # the reference's torch.autograd.set_detect_anomaly(True)
+        # (engine/train.py:22)
+        jax.config.update("jax_debug_nans", True)
+        logger.info("debug_nan: jax_debug_nans enabled")
+
     model = build_model(cfg)
     tx, state, train_step = build_train_step(cfg, model, jax.random.key(seed))
 
@@ -82,6 +90,10 @@ def train(cfg: HSPoseConfig):
                 jax.profiler.start_trace(profile_dir)
             batch = shard_batch(mesh, batch)
             state, metrics = train_step(state, batch, data_key)
+            if cfg.train.debug_nan:
+                from hspose_tpu.engine.train_step import check_finite_metrics
+
+                check_finite_metrics(jax.device_get(metrics))
             if profile_dir and i == 14 and epoch == s_epoch:
                 jax.block_until_ready(metrics)
                 jax.profiler.stop_trace()

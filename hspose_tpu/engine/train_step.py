@@ -22,6 +22,23 @@ from hspose_tpu.models.hspose import train_forward
 from hspose_tpu.models.posenet import PoseNet9D
 
 
+def check_finite_metrics(metrics) -> None:
+    """Sanitizer-mode step check: raise naming the non-finite loss families.
+
+    ``jax_debug_nans`` only inspects outputs on slow-path dispatches (first call /
+    retrace) — a NaN appearing later, under the cached executable, sails through.
+    The train loop calls this on the fetched metrics every step when
+    ``train.debug_nan`` is set, so a poisoned batch stops the run and names the
+    faulting loss family (the reference's set_detect_anomaly analog,
+    engine/train.py:22).
+    """
+    bad = [k.split("/", 1)[1] for k, v in metrics.items()
+           if k.startswith("finite/") and float(v) != 1.0]
+    if bad:
+        raise FloatingPointError(
+            f"non-finite loss detected in families: {', '.join(sorted(bad))}")
+
+
 class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     params: Any
@@ -80,6 +97,14 @@ def make_train_step(cfg: HSPoseConfig, model: PoseNet9D,
         for fam, d in loss_dicts.items():
             for k, v in d.items():
                 metrics[f"{fam}/{k}"] = v
+
+        if cfg.train.debug_nan:
+            # sanitizer mode (reference engine/train.py:22 set_detect_anomaly):
+            # per-family finite flags so the faulting loss family is visible in
+            # the metrics stream even when jax_debug_nans is unavailable
+            for fam, d in loss_dicts.items():
+                finite = jnp.all(jnp.stack([jnp.isfinite(v) for v in d.values()]))
+                metrics[f"finite/{fam}"] = finite.astype(jnp.float32)
         return state, metrics
 
     return jax.jit(step_fn, donate_argnums=(0,))

@@ -26,10 +26,10 @@ from hspose_tpu.ops.knn import (
 )
 
 
-def _bn(name: str, train: bool):
+def _bn(name: str, train: bool, dtype=None):
     # torch BatchNorm1d defaults: eps 1e-5, momentum 0.1 (flax momentum = 0.9)
     return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                        name=name)
+                        name=name, dtype=dtype)
 
 
 class MLPHead(nn.Module):
@@ -71,28 +71,34 @@ class FaceRecon(nn.Module):
         cfg = self.cfg
         k = cfg.gcn_n_num
         B, N, _ = vertices.shape
+        # fast mode: bf16 features + one-pass distances + packed-key KNN selection
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        fast = dtype == jnp.bfloat16
 
         if cfg.knn_impl == "xla":
             knn_indices = knn_indices_xla
         elif cfg.knn_impl == "pallas":
             from hspose_tpu.ops.pallas_knn import knn_indices_pallas
-            knn_indices = knn_indices_pallas
+
+            def knn_indices(p, kk):
+                return knn_indices_pallas(p, kk, fast=fast)
         else:  # auto: fused Pallas kernel on TPU, XLA elsewhere
-            knn_indices = knn_indices_fast
+            def knn_indices(p, kk):
+                return knn_indices_fast(p, kk, fast=fast)
 
         one_hot = jax.nn.one_hot(cat_id.astype(jnp.int32).reshape(B), cfg.obj_c,
-                                 dtype=vertices.dtype)
+                                 dtype=dtype)
 
         # --- resolution 0: N points -------------------------------------------------
         vert_idx_0 = knn_indices(vertices, k)  # shared by conv_0 RF-P, conv_0/1 ORL
-        fm_0 = HSLayerSurface(128, cfg.gcn_sup_num, name="conv_0")(
+        fm_0 = HSLayerSurface(128, cfg.gcn_sup_num, dtype=dtype, name="conv_0")(
             vertices, rf_idx=vert_idx_0, orl_idx=vert_idx_0, train=train)
         fm_0 = jax.nn.relu(fm_0)
 
         rf_1 = knn_indices(fm_0, k)  # RF-F on features (gcn3d.py:150-153)
-        fm_1 = HSLayer(128, 128, cfg.gcn_sup_num, name="conv_1")(
+        fm_1 = HSLayer(128, 128, cfg.gcn_sup_num, dtype=dtype, name="conv_1")(
             vertices, fm_0, rf_idx=rf_1, orl_idx=vert_idx_0, train=train)
-        fm_1 = jax.nn.relu(_bn("bn1", train)(fm_1))
+        fm_1 = jax.nn.relu(_bn("bn1", train, dtype)(fm_1))
 
         pool_idx_0 = knn_indices(vertices, 4)
         key1 = self.make_rng("pool")
@@ -103,14 +109,14 @@ class FaceRecon(nn.Module):
         k1 = min(k, n1 // 8)  # FaceRecon.py:92-95
         vert_idx_1 = knn_indices(v_pool_1, k1)
         rf_2 = knn_indices(fm_pool_1, k1)
-        fm_2 = HSLayer(128, 256, cfg.gcn_sup_num, name="conv_2")(
+        fm_2 = HSLayer(128, 256, cfg.gcn_sup_num, dtype=dtype, name="conv_2")(
             v_pool_1, fm_pool_1, rf_idx=rf_2, orl_idx=vert_idx_1, train=train)
-        fm_2 = jax.nn.relu(_bn("bn2", train)(fm_2))
+        fm_2 = jax.nn.relu(_bn("bn2", train, dtype)(fm_2))
 
         rf_3 = knn_indices(fm_2, k1)
-        fm_3 = HSLayer(256, 256, cfg.gcn_sup_num, name="conv_3")(
+        fm_3 = HSLayer(256, 256, cfg.gcn_sup_num, dtype=dtype, name="conv_3")(
             v_pool_1, fm_2, rf_idx=rf_3, orl_idx=vert_idx_1, train=train)
-        fm_3 = jax.nn.relu(_bn("bn3", train)(fm_3))
+        fm_3 = jax.nn.relu(_bn("bn3", train, dtype)(fm_3))
 
         pool_idx_1 = knn_indices(v_pool_1, 4)
         key2 = self.make_rng("pool")
@@ -121,7 +127,7 @@ class FaceRecon(nn.Module):
         k2 = min(k, n2 // 8)  # FaceRecon.py:97
         vert_idx_2 = knn_indices(v_pool_2, k2)
         rf_4 = knn_indices(fm_pool_2, k2)
-        fm_4 = HSLayer(256, 512, cfg.gcn_sup_num, name="conv_4")(
+        fm_4 = HSLayer(256, 512, cfg.gcn_sup_num, dtype=dtype, name="conv_4")(
             v_pool_2, fm_pool_2, rf_idx=rf_4, orl_idx=vert_idx_2, train=train)
 
         f_global = jnp.max(fm_4, axis=1)  # (B, 512)

@@ -22,40 +22,49 @@ class VecHead(nn.Module):
     """Shared architecture of Rot_green / Rot_red / Pose_Ts."""
 
     out_c: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        """x: (B, N, C) per-point features -> (B, out_c)."""
+        """x: (B, N, C) per-point features -> (B, out_c) f32."""
         x = nn.Dense(1024, kernel_init=torch_linear_init(x.shape[-1]),
-                     bias_init=torch_linear_init(x.shape[-1]), name="conv1")(x)
-        x = jax.nn.relu(_bn("bn1", train)(x))
+                     bias_init=torch_linear_init(x.shape[-1]), dtype=self.dtype,
+                     name="conv1")(x)
+        x = jax.nn.relu(_bn("bn1", train, self.dtype)(x))
         x = nn.Dense(256, kernel_init=torch_linear_init(1024),
-                     bias_init=torch_linear_init(1024), name="conv2")(x)
-        x = jax.nn.relu(_bn("bn2", train)(x))
+                     bias_init=torch_linear_init(1024), dtype=self.dtype,
+                     name="conv2")(x)
+        x = jax.nn.relu(_bn("bn2", train, self.dtype)(x))
 
         x = jnp.max(x, axis=1, keepdims=True)  # global max over points (B, 1, 256)
 
         x = nn.Dense(256, kernel_init=torch_linear_init(256),
-                     bias_init=torch_linear_init(256), name="conv3")(x)
-        x = jax.nn.relu(_bn("bn3", train)(x))
+                     bias_init=torch_linear_init(256), dtype=self.dtype,
+                     name="conv3")(x)
+        x = jax.nn.relu(_bn("bn3", train, self.dtype)(x))
         x = nn.Dropout(0.2, deterministic=not train)(x)
         x = nn.Dense(self.out_c, kernel_init=torch_linear_init(256),
-                     bias_init=torch_linear_init(256), name="conv4")(x)
-        return x[:, 0, :]  # (B, out_c)
+                     bias_init=torch_linear_init(256), dtype=self.dtype,
+                     name="conv4")(x)
+        return x[:, 0, :].astype(jnp.float32)  # (B, out_c)
 
 
 class RotationHead(nn.Module):
     """Rot_green / Rot_red: 4-vector = [confidence, axis(3)]."""
 
+    dtype: jnp.dtype = jnp.float32
+
     @nn.compact
     def __call__(self, feat: jnp.ndarray, train: bool) -> jnp.ndarray:
-        return VecHead(4, name="vec")(feat, train)
+        return VecHead(4, dtype=self.dtype, name="vec")(feat, train)
 
 
 class PoseTsHead(nn.Module):
     """Pose_Ts: 6-vector split into translation residual (3) and size residual (3)."""
 
+    dtype: jnp.dtype = jnp.float32
+
     @nn.compact
     def __call__(self, feat: jnp.ndarray, train: bool):
-        x = VecHead(6, name="vec")(feat, train)
+        x = VecHead(6, dtype=self.dtype, name="vec")(feat, train)
         return x[:, 0:3], x[:, 3:6]

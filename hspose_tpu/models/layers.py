@@ -25,8 +25,10 @@ from flax import linen as nn
 
 from hspose_tpu.ops.knn import (
     gather_neighbors,
+    gather_neighbors_kmajor,
     knn_indices,
     neighbor_directions_normalized,
+    neighbor_directions_normalized_kmajor,
 )
 
 
@@ -85,17 +87,20 @@ class HSLayerSurface(nn.Module):
         f_ste = ste(vertices)
 
         # graph conv (gcn3d.py:92-107)
-        rf_norm = neighbor_directions_normalized(vertices, rf_idx)  # (B, N, K, 3)
         dir_norm = directions / jnp.maximum(
             jnp.linalg.norm(directions, axis=0, keepdims=True), 1e-12)
-        dir_norm = dir_norm.astype(rf_norm.dtype)
+        dir_norm = dir_norm.astype(self.dtype)
 
-        # the fused Pallas kernel is forward-only (no VJP yet): inference path only
-        if self.support_scan and not train and jax.devices()[0].platform == "tpu":
+        # fused Pallas kernel (custom VJP: used in training too) on TPU
+        if self.support_scan and jax.devices()[0].platform == "tpu":
             from hspose_tpu.ops.pallas_hs import hs_surface_reduce
 
-            feature = hs_surface_reduce(rf_norm, dir_norm, s, k)
+            rf_km = neighbor_directions_normalized_kmajor(
+                vertices.astype(self.dtype), rf_idx)  # (B, K, N, 3)
+            feature = hs_surface_reduce(rf_km, dir_norm, s, k, kmajor=True,
+                                        exact=self.dtype == jnp.float32)
         elif self.support_scan:
+            rf_norm = neighbor_directions_normalized(vertices, rf_idx)  # (B, N, K, 3)
             dirs_s = dir_norm.reshape(3, s, k).transpose(1, 0, 2)  # (S, 3, C)
 
             def body(carry, dir_s):
@@ -107,6 +112,7 @@ class HSLayerSurface(nn.Module):
                 unroll=True)
             feature = total / s
         else:
+            rf_norm = neighbor_directions_normalized(vertices, rf_idx)
             theta = jax.nn.relu(
                 jnp.einsum("bnkd,ds->bnks", rf_norm, dir_norm))
             B, N, K = theta.shape[:3]
@@ -114,11 +120,13 @@ class HSLayerSurface(nn.Module):
             feature = jnp.mean(jnp.max(theta, axis=2), axis=2)
 
         # ORL (gcn3d.py:109-113)
-        f_global = orl_global(feature, orl_idx)
+        f_global = orl_global(feature.astype(self.dtype), orl_idx)
         fused = jnp.concatenate(
-            [feature, jnp.broadcast_to(f_global, feature.shape)], axis=-1)
+            [feature.astype(self.dtype),
+             jnp.broadcast_to(f_global, feature.shape[:2] + f_global.shape[-1:])],
+            axis=-1)
         feature = conv2(fused) + feature
-        return feature + f_ste
+        return (feature + f_ste).astype(self.dtype)
 
 
 class HSLayer(nn.Module):
@@ -152,21 +160,25 @@ class HSLayer(nn.Module):
         f_ste = ste(feature_map)
 
         # graph conv (gcn3d.py:158-181)
-        rf_norm = neighbor_directions_normalized(vertices, rf_idx)  # (B, N, K, 3)
         dir_norm = directions / jnp.maximum(
             jnp.linalg.norm(directions, axis=0, keepdims=True), 1e-12)
-        dir_norm = dir_norm.astype(rf_norm.dtype)
+        dir_norm = dir_norm.astype(self.dtype)
 
-        # the fused Pallas kernel is forward-only (no VJP yet): inference path only
-        if self.support_scan and not train and jax.devices()[0].platform == "tpu":
+        # fused Pallas kernel (custom VJP: used in training too) on TPU
+        if self.support_scan and jax.devices()[0].platform == "tpu":
             from hspose_tpu.ops.pallas_hs import hs_support_reduce
 
             feature_center = (feature_map.astype(self.dtype)
                               @ weights[:, :co].astype(self.dtype) + bias[:co])
-            gathered_in = gather_neighbors(feature_map.astype(self.dtype), rf_idx)
-            activation = hs_support_reduce(gathered_in, rf_norm, weights[:, co:],
-                                           bias[co:], dir_norm, s, co)
+            rf_km = neighbor_directions_normalized_kmajor(
+                vertices.astype(self.dtype), rf_idx)  # (B, K, N, 3)
+            gathered_km = gather_neighbors_kmajor(feature_map.astype(self.dtype),
+                                                  rf_idx)
+            activation = hs_support_reduce(gathered_km, rf_km, weights[:, co:],
+                                           bias[co:], dir_norm, s, co, kmajor=True,
+                                           exact=self.dtype == jnp.float32)
         elif self.support_scan:
+            rf_norm = neighbor_directions_normalized(vertices, rf_idx)  # (B, N, K, 3)
             feature_center = (feature_map.astype(self.dtype)
                               @ weights[:, :co].astype(self.dtype) + bias[:co])
             # gather-FIRST: since the support projection is linear, gathering the
@@ -195,6 +207,7 @@ class HSLayer(nn.Module):
                 (dirs_s, w_s, b_s), unroll=True)
             activation = total / s
         else:
+            rf_norm = neighbor_directions_normalized(vertices, rf_idx)
             projected = (feature_map.astype(self.dtype)
                          @ weights.astype(self.dtype) + bias)
             feature_center = projected[..., :co]
@@ -208,11 +221,13 @@ class HSLayer(nn.Module):
         feature = feature_center + activation
 
         # ORL (gcn3d.py:183-187)
-        f_global = orl_global(feature, orl_idx)
+        f_global = orl_global(feature.astype(self.dtype), orl_idx)
         fused = jnp.concatenate(
-            [feature, jnp.broadcast_to(f_global, feature.shape)], axis=-1)
+            [feature.astype(self.dtype),
+             jnp.broadcast_to(f_global, feature.shape[:2] + f_global.shape[-1:])],
+            axis=-1)
         feature = conv2(fused) + feature
-        return feature + f_ste
+        return (feature + f_ste).astype(self.dtype)
 
 
 def pool_layer(key: jax.Array, vertices: jnp.ndarray, feature_map: jnp.ndarray,

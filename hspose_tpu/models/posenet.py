@@ -55,8 +55,9 @@ class PoseNet9D(nn.Module):
         else:
             recon = face_normal = face_dis = face_f = None
 
-        green_vec = RotationHead(name="rot_green")(feat, train)  # (B, 4)
-        red_vec = RotationHead(name="rot_red")(feat, train)
+        dtype = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
+        green_vec = RotationHead(dtype=dtype, name="rot_green")(feat, train)  # (B, 4)
+        red_vec = RotationHead(dtype=dtype, name="rot_red")(feat, train)
         p_green_R = green_vec[:, 1:] / (jnp.linalg.norm(green_vec[:, 1:], axis=-1,
                                                         keepdims=True) + 1e-6)
         p_red_R = red_vec[:, 1:] / (jnp.linalg.norm(red_vec[:, 1:], axis=-1,
@@ -64,8 +65,8 @@ class PoseNet9D(nn.Module):
         f_green_R = jax.nn.sigmoid(green_vec[:, 0])
         f_red_R = jax.nn.sigmoid(red_vec[:, 0])
 
-        feat_ts = jnp.concatenate([feat, centred], axis=-1)  # (B, N, 1289)
-        T, s = PoseTsHead(name="ts")(feat_ts, train)
+        feat_ts = jnp.concatenate([feat, centred.astype(feat.dtype)], axis=-1)  # (B, N, 1289)
+        T, s = PoseTsHead(dtype=dtype, name="ts")(feat_ts, train)
         pred_T = T + center[:, 0, :]
 
         return PoseNetOutput(recon, face_normal, face_dis, face_f, p_green_R, p_red_R,

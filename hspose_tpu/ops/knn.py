@@ -53,13 +53,17 @@ def knn_indices(points: jnp.ndarray, k: int) -> jnp.ndarray:
     return idx[..., 1:]
 
 
-def knn_indices_fast(points: jnp.ndarray, k: int) -> jnp.ndarray:
+def knn_indices_fast(points: jnp.ndarray, k: int, fast: bool = False) -> jnp.ndarray:
     """Backend-dispatching KNN: the fused Pallas kernel on TPU (8× faster than the
-    sort-based top_k there), the XLA path elsewhere.  Trace-time decision."""
+    sort-based top_k there), the XLA path elsewhere.  Trace-time decision.
+
+    ``fast=True`` (TPU only) trades ~2⁻¹² distance precision for a ~2× cheaper
+    selection loop + one-pass bf16 distances — see ``pallas_knn.knn_indices_pallas``.
+    """
     if jax.devices()[0].platform == "tpu":
         from hspose_tpu.ops.pallas_knn import knn_indices_pallas
 
-        return knn_indices_pallas(points, k)
+        return knn_indices_pallas(points, k, fast=fast)
     return knn_indices(points, k)
 
 
@@ -72,6 +76,14 @@ def nearest_index(target: jnp.ndarray, source: jnp.ndarray) -> jnp.ndarray:
     """
     d = pairwise_sq_dist(target, source)
     return jnp.argmin(d, axis=-1).astype(jnp.int32)
+
+
+def _gather_precision(dtype) -> jax.lax.Precision:
+    """bf16 features gather exactly at DEFAULT (one-hot entries are exact 0/1 and
+    bf16·bf16 accumulates in f32 on the MXU); f32 features need HIGHEST for the
+    0-ULP guarantee (measured against take_along_axis)."""
+    return (jax.lax.Precision.DEFAULT if dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
 
 
 def gather_neighbors(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -90,10 +102,25 @@ def gather_neighbors(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         n = features.shape[1]
         one_hot = jax.nn.one_hot(idx, n, dtype=features.dtype)  # (B, M, K, N)
         return jnp.einsum("bmkn,bnc->bmkc", one_hot, features,
-                          precision=jax.lax.Precision.HIGHEST)
+                          precision=_gather_precision(features.dtype))
     flat = idx.reshape(B, M * K)
     out = jnp.take_along_axis(features, flat[..., None], axis=1)
     return out.reshape(B, M, K, features.shape[-1])
+
+
+def gather_neighbors_kmajor(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Like :func:`gather_neighbors` but emits the k-major layout (B, K, M, C)
+    the fused HS kernels consume — the einsum writes that layout for free,
+    whereas transposing afterwards costs an HBM round trip of the full tensor."""
+    B, M, K = idx.shape
+    if jax.devices()[0].platform == "tpu":
+        n = features.shape[1]
+        one_hot = jax.nn.one_hot(idx, n, dtype=features.dtype)  # (B, M, K, N)
+        return jnp.einsum("bmkn,bnc->bkmc", one_hot, features,
+                          precision=_gather_precision(features.dtype))
+    flat = idx.reshape(B, M * K)
+    out = jnp.take_along_axis(features, flat[..., None], axis=1)
+    return out.reshape(B, M, K, features.shape[-1]).transpose(0, 2, 1, 3)
 
 
 def neighbor_directions_normalized(vertices: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -104,5 +131,14 @@ def neighbor_directions_normalized(vertices: jnp.ndarray, idx: jnp.ndarray) -> j
     """
     neighbors = gather_neighbors(vertices, idx)
     direction = neighbors - vertices[:, :, None, :]
+    norm = jnp.linalg.norm(direction, axis=-1, keepdims=True)
+    return direction / jnp.maximum(norm, 1e-12)
+
+
+def neighbor_directions_normalized_kmajor(vertices: jnp.ndarray,
+                                          idx: jnp.ndarray) -> jnp.ndarray:
+    """K-major variant: (B, N, 3), (B, N, K) -> (B, K, N, 3) for the fused kernels."""
+    neighbors = gather_neighbors_kmajor(vertices, idx)  # (B, K, N, 3)
+    direction = neighbors - vertices[:, None, :, :]
     norm = jnp.linalg.norm(direction, axis=-1, keepdims=True)
     return direction / jnp.maximum(norm, 1e-12)

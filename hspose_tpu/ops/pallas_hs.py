@@ -1,23 +1,33 @@
-"""Fused Pallas kernel for the hybrid-scope support reduction.
+"""Fused Pallas kernels for the hybrid-scope support reduction.
 
 The HS graph conv computes, per point and output channel,
 ``mean_s max_k relu(rf·dir_s) · (gathered @ W_s + b_s)`` — the reference
 materializes the (B, N, K, S·C) theta and support tensors in HBM
-(gcn3d.py:167-179), and even a scan-over-supports XLA version writes ~77 GB of
-intermediates per layer at batch 256.  Here one program holds a (TQ·K, ·) tile in
-VMEM, runs the per-support projections on the MXU and the relu·max·mean reduction
-on the VPU, and writes only the (TQ, C) result.
+(gcn3d.py:167-179); even a scan-over-supports XLA version writes ~77 GB of
+intermediates per layer at batch 256.  Here one program holds the tile in VMEM and
+writes only the (TQ, C) result.
 
-Layout notes:
-* K is padded to a multiple of 8 sublanes (``_K_ALIGN``) so the (TQ·K, C) ↔
-  (TQ, K, C) reshapes are layout-preserving — with the raw K=20 every reshape is a
-  Mosaic relayout and dominates the kernel.
-* Padded neighbour slots are masked to −inf before the max.
-* theta is computed on the VPU (a D=3 MXU contraction wastes full passes).
+Kernel design (v3):
+* Neighbour tensors arrive **k-major**: (B, K, N, C) flattened to
+  (k_pad, tq, C) tiles.  The max-over-K is then a reduction over the *leading*
+  axis — pure cross-vreg ``vmax`` ops, no sublane relayout — and padded K slots
+  are simply excluded by a static slice (``[:k_valid]``), removing the −inf mask
+  pass entirely.  (v1 used (tq·k_pad, C) rows with K strided inside sublane
+  groups; Mosaic relayouts on the (tq, k_pad, co) max dominated the kernel.)
+* theta runs on the VPU in f32 (exact; a K=3 MXU contraction wastes a full
+  systolic pass, and six at HIGHEST — both measured slower).
+* a rolled loop over supports keeps temporaries (rows, Co)-sized; an
+  all-supports (rows, S·Co) variant forces tiny tiles and measured slower.
 
-Two modes:
-* ``hs_support_reduce``  — full HS_layer body (with projection matmuls);
-* ``hs_surface_reduce``  — HSlayer_surface body (theta-only, no projection).
+Precision: ``exact=True`` uses a manual bf16x3 split for the projection (f32
+accurate, 3 MXU passes — ``Precision.HIGH`` does not exist inside Mosaic);
+``exact=False`` (fast mode) runs it at DEFAULT (one bf16 pass); inputs may be
+bf16.
+
+Both reductions are differentiable: ``jax.custom_vjp`` pairs each forward with a
+fused backward kernel (see ``_support_bwd_kernel``) so training uses the same
+fast path — the reference trains this op end-to-end
+(``network/fs_net_repo/gcn3d.py:92-187``).
 """
 
 from __future__ import annotations
@@ -30,153 +40,496 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _K_ALIGN = 8
-_NEG = -3.4e38
+# VMEM budget for the per-program temporaries (theta/proj/prod + inputs); the
+# chip has ~16 MB more headroom is left for Mosaic's own buffers/pipelining.
+_VMEM_BUDGET = 13 * 1024 * 1024
 
 
-def _pad_k(x, k_pad):
-    pad = k_pad - x.shape[2]
+def _pad_axis(x, n, axis):
+    pad = n - x.shape[axis]
     if pad <= 0:
         return x
     widths = [(0, 0)] * x.ndim
-    widths[2] = (0, pad)
+    widths[axis] = (0, pad)
     return jnp.pad(x, widths)
 
 
-def _pad_n(x, n_pad):
-    pad = n_pad - x.shape[1]
-    if pad <= 0:
-        return x
-    widths = [(0, 0)] * x.ndim
-    widths[1] = (0, pad)
-    return jnp.pad(x, widths)
+def _pick_tq(tq_req: int, k_pad: int, cin: int, co: int, s_co: int) -> int:
+    """Largest tq ≤ tq_req (multiple of 8) whose temporaries fit the VMEM budget.
+
+    The rolled support loop keeps (rows, Co) temporaries only: per row we hold the
+    gathered tile + its bf16 hi/lo splits (cin·8), ~4 live (rows, co) f32 arrays
+    (theta/proj/prod/acc) and the lane-padded rf tile (512 B); plus the full
+    weight matrix once."""
+    tq = max(8, (tq_req // 8) * 8)
+    while tq > 8:
+        rows = tq * k_pad
+        bytes_needed = rows * (cin * 8 + co * 16 + 512) + cin * s_co * 4
+        if bytes_needed <= _VMEM_BUDGET:
+            break
+        tq -= 8
+    return tq
 
 
-def _k_mask(tq: int, k_pad: int, k_valid: int, co: int):
-    """(tq·k_pad, co) additive mask: 0 for real neighbour slots, −inf for padding."""
-    k_ids = jax.lax.broadcasted_iota(jnp.int32, (tq * k_pad, co), 0) % k_pad
-    return jnp.where(k_ids < k_valid, 0.0, _NEG)
+def _pick_tq_bwd(tq_fwd: int, n_pad: int, k_pad: int, cin: int, co: int,
+                 s_co: int) -> int:
+    """Backward tile: the largest multiple-of-8 divisor of n_pad (≤ forward tq)
+    that fits the bwd footprint (per row: g + dg + bf16 splits ≈ cin·12, ~6 live
+    (rows, co) f32 temporaries ≈ co·24, rf/drf ≈ 512 B; fixed: W and dW once
+    each).  Mosaic requires the sublane block dim be a multiple of 8."""
+    best = 8
+    # tighter budget than the forward: Mosaic double-buffers the in/out blocks
+    # (dg/drf/gbar), which the per-row estimate doesn't see — measured ~25% over
+    budget = 8 * 1024 * 1024
+    for tq in range(8, tq_fwd + 1, 8):
+        if n_pad % tq != 0:
+            continue
+        rows = tq * k_pad
+        bytes_needed = rows * (cin * 12 + co * 24 + 512) + cin * s_co * 8
+        if bytes_needed <= budget:
+            best = tq
+    return best
 
 
-def _reduce_kernel(g_ref, rf_ref, w_ref, b_ref, d_ref, o_ref, *, s: int, co: int,
-                   k_pad: int, k_valid: int, exact: bool):
-    """gathered (1, TQ·Kp, Cin), rf (1, TQ·Kp, 3), w (Cin, S*Co), b (1, S*Co),
-    dirs (3, S*Co) -> out (1, TQ, Co)."""
-    rows = g_ref.shape[1]
-    tq = rows // k_pad
-    g = g_ref[0]
-    rf = rf_ref[0]
-    mask = _k_mask(tq, k_pad, k_valid, co)
+def _to_kmajor(x):
+    """(B, N, K, C) -> (B, K, N, C)."""
+    return jnp.transpose(x, (0, 2, 1, 3))
+
+
+def _bf16x3_dot(a, w):
+    """f32-accurate matmul from three bf16 MXU passes (rel err ~1e-7)."""
+    dflt = jax.lax.Precision.DEFAULT  # global default may be 'high' (unsupported in Mosaic)
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    w_hi = w.astype(jnp.bfloat16)
+    w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (jnp.dot(a_hi, w_hi, preferred_element_type=jnp.float32, precision=dflt)
+            + jnp.dot(a_hi, w_lo, preferred_element_type=jnp.float32, precision=dflt)
+            + jnp.dot(a_lo, w_hi, preferred_element_type=jnp.float32, precision=dflt))
+
+
+def _theta_vpu(rf, d_ref, off, co):
+    """relu(rf·dir) on the VPU: exact f32, no MXU passes (but the (rows,1) lane
+    broadcasts cost ~9 VPU passes per support — see _theta for the trade)."""
+    d0 = d_ref[0:1, pl.ds(off, co)]
+    d1 = d_ref[1:2, pl.ds(off, co)]
+    d2 = d_ref[2:3, pl.ds(off, co)]
+    rf32 = rf.astype(jnp.float32)
+    return jax.nn.relu(rf32[:, 0:1] * d0 + rf32[:, 1:2] * d1 + rf32[:, 2:3] * d2)
+
+
+def _theta(rf, d_ref, off, co, *, exact: bool, mxu: bool):
+    """relu(rf·dir_s): VPU (exact f32, VPU-pass heavy) or MXU (pipelines with the
+    VPU max; bf16x3 when exact, one DEFAULT pass when fast)."""
+    if not mxu:
+        return _theta_vpu(rf, d_ref, off, co)
+    d_s = d_ref[:, pl.ds(off, co)]
+    if exact:
+        return jax.nn.relu(_bf16x3_dot(rf.astype(jnp.float32), d_s))
+    return jax.nn.relu(jnp.dot(rf, d_s.astype(rf.dtype),
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.DEFAULT))
+
+
+def _support_kernel(g_ref, rf_ref, w_ref, b_ref, d_ref, o_ref, *, s: int, co: int,
+                    k_valid: int, exact: bool, theta_mxu: bool = True):
+    """g (1, Kp, TQ, Cin), rf (1, Kp, TQ, 3), w (Cin, S·Co), b (1, S·Co),
+    d (3, S·Co) -> out (1, TQ, Co).
+
+    Rolled loop over supports keeps the temporaries (rows, Co)-sized (an all-
+    supports (rows, S·Co) version forces tiny tiles — measured slower), while the
+    k-major max stays a pure cross-vreg reduction.
+    """
+    kp, tq, cin = g_ref.shape[1], g_ref.shape[2], g_ref.shape[3]
+    g = g_ref[0].reshape(kp * tq, cin)
+    rf = rf_ref[0].reshape(kp * tq, 3)
 
     if exact:
-        # manual bf16x3: f32-accurate (rel err ~1e-7) at 3 MXU passes instead of
-        # the 6 that Precision.HIGHEST costs (the kernel is MXU-bound)
         g_hi = g.astype(jnp.bfloat16)
         g_lo = (g - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
     def body(j, acc):
         off = pl.multiple_of(j * co, co)
         w_s = w_ref[:, pl.ds(off, co)]
-        d_s = d_ref[:, pl.ds(off, co)]
         if exact:
+            dflt = jax.lax.Precision.DEFAULT
             w_hi = w_s.astype(jnp.bfloat16)
             w_lo = (w_s - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            dflt = jax.lax.Precision.DEFAULT  # global default may be 'high' (unsupported in Mosaic)
             proj = (jnp.dot(g_hi, w_hi, preferred_element_type=jnp.float32, precision=dflt)
                     + jnp.dot(g_hi, w_lo, preferred_element_type=jnp.float32, precision=dflt)
                     + jnp.dot(g_lo, w_hi, preferred_element_type=jnp.float32, precision=dflt))
         else:
             proj = jnp.dot(g, w_s, preferred_element_type=jnp.float32,
                            precision=jax.lax.Precision.DEFAULT)
-        proj = proj + b_ref[0, pl.ds(off, co)]
-        theta = jax.nn.relu(rf[:, 0:1] * d_s[0][None, :]
-                            + rf[:, 1:2] * d_s[1][None, :]
-                            + rf[:, 2:3] * d_s[2][None, :])
-        prod = theta * proj + mask
-        return acc + jnp.max(prod.reshape(tq, k_pad, co), axis=1)
+        proj = proj + b_ref[0:1, pl.ds(off, co)]
+        theta = _theta(rf, d_ref, off, co, exact=exact, mxu=theta_mxu)
+        prod = (theta * proj).reshape(kp, tq, co)
+        return acc + jnp.max(prod[:k_valid], axis=0)  # cross-vreg maxes only
 
     acc = jax.lax.fori_loop(0, s, body, jnp.zeros((tq, co), jnp.float32))
     o_ref[0] = acc / s
 
 
-def _surface_kernel(rf_ref, d_ref, o_ref, *, s: int, co: int, k_pad: int,
-                    k_valid: int):
-    rows = rf_ref.shape[1]
-    tq = rows // k_pad
-    rf = rf_ref[0]
-    mask = _k_mask(tq, k_pad, k_valid, co)
+def _surface_kernel(rf_ref, d_ref, o_ref, *, s: int, co: int, k_valid: int,
+                    exact: bool, theta_mxu: bool = True):
+    """rf (1, Kp, TQ, 3), d (3, S·Co) -> out (1, TQ, Co): theta-only reduction."""
+    kp, tq = rf_ref.shape[1], rf_ref.shape[2]
+    rf = rf_ref[0].reshape(kp * tq, 3)
 
     def body(j, acc):
         off = pl.multiple_of(j * co, co)
-        d_s = d_ref[:, pl.ds(off, co)]
-        theta = jax.nn.relu(rf[:, 0:1] * d_s[0][None, :]
-                            + rf[:, 1:2] * d_s[1][None, :]
-                            + rf[:, 2:3] * d_s[2][None, :])
-        return acc + jnp.max((theta + mask).reshape(tq, k_pad, co), axis=1)
+        theta = _theta(rf, d_ref, off, co, exact=exact, mxu=theta_mxu).reshape(kp, tq, co)
+        return acc + jnp.max(theta[:k_valid], axis=0)
 
     acc = jax.lax.fori_loop(0, s, body, jnp.zeros((tq, co), jnp.float32))
     o_ref[0] = acc / s
 
 
-def _prep(gathered, rf_norm, tq):
-    """Pad K to the sublane multiple and N to the tile multiple; flatten (N, K)."""
-    B, N, K = rf_norm.shape[:3]
+def _support_bwd_kernel(g_ref, rf_ref, w_ref, b_ref, d_ref, gbar_ref,
+                        dg_ref, drf_ref, dw_ref, db_ref, dd_ref, *, s: int,
+                        co: int, k_valid: int, exact: bool):
+    """Backward of the support reduction.
+
+    Recomputes theta/proj per support (cheaper than storing (B,K,N,S·Co)
+    residuals), finds the winning k per (point, channel) with first-occurrence
+    tie-break, and emits all five cotangents.  dw/db/dd use constant-index output
+    blocks accumulated across the sequentially-executed grid (zeroed at program
+    (0,0)); dg/drf are per-tile writes.
+    """
+    kp, tq, cin = g_ref.shape[1], g_ref.shape[2], g_ref.shape[3]
+    rows = kp * tq
+    g = g_ref[0].reshape(rows, cin).astype(jnp.float32)
+    rf = rf_ref[0].reshape(rows, 3).astype(jnp.float32)
+    gb = gbar_ref[0] / s  # (tq, co)
+
+    is_first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(is_first)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+        dd_ref[:] = jnp.zeros_like(dd_ref)
+
+    if exact:
+        g_hi = g.astype(jnp.bfloat16)
+        g_lo = (g - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dflt = jax.lax.Precision.DEFAULT
+
+    def mm(a, b, dims):
+        """f32-faithful (bf16x3) or one-pass matmul depending on `exact`."""
+        if not exact:
+            return jax.lax.dot_general(a, b, dimension_numbers=(dims, ((), ())),
+                                       preferred_element_type=jnp.float32,
+                                       precision=dflt)
+        a_hi = a.astype(jnp.bfloat16)
+        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        b_hi = b.astype(jnp.bfloat16)
+        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = jax.lax.dot_general(a_hi, b_hi, dimension_numbers=(dims, ((), ())),
+                                  preferred_element_type=jnp.float32, precision=dflt)
+        out += jax.lax.dot_general(a_hi, b_lo, dimension_numbers=(dims, ((), ())),
+                                   preferred_element_type=jnp.float32, precision=dflt)
+        out += jax.lax.dot_general(a_lo, b_hi, dimension_numbers=(dims, ((), ())),
+                                   preferred_element_type=jnp.float32, precision=dflt)
+        return out
+
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (kp, tq, co), 0)
+
+    def body(j, carry):
+        dg_acc, drf_acc = carry
+        off = pl.multiple_of(j * co, co)
+        w_s = w_ref[:, pl.ds(off, co)]
+        if exact:
+            w_hi = w_s.astype(jnp.bfloat16)
+            w_lo = (w_s - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            proj = (jnp.dot(g_hi, w_hi, preferred_element_type=jnp.float32, precision=dflt)
+                    + jnp.dot(g_hi, w_lo, preferred_element_type=jnp.float32, precision=dflt)
+                    + jnp.dot(g_lo, w_hi, preferred_element_type=jnp.float32, precision=dflt))
+        else:
+            proj = jnp.dot(g, w_s, preferred_element_type=jnp.float32, precision=dflt)
+        proj = proj + b_ref[0:1, pl.ds(off, co)]
+        theta = _theta_vpu(rf, d_ref, off, co)
+        prod = (theta * proj).reshape(kp, tq, co)
+        # winning k per (point, channel): first occurrence of the max among the
+        # k_valid real slots (matches a stable argmax)
+        m = jnp.max(prod[:k_valid], axis=0)  # (tq, co)
+        eq = jnp.logical_and(prod >= m[None], k_iota < k_valid)
+        ik = jnp.min(jnp.where(eq, k_iota, kp), axis=0)  # (tq, co)
+        sel = (k_iota == ik[None]).astype(jnp.float32)  # one-hot over k
+        dprod = (sel * gb[None]).reshape(rows, co)
+        dpi = dprod * theta
+        du = jnp.where(theta > 0, dprod * proj, 0.0)
+        # dg += dpi @ W_s^T   (contract co)
+        dg_acc = dg_acc + mm(dpi, w_s, ((1,), (1,)))
+        # drf += du @ d_s^T   (contract co) — exact f32 via bf16x3 is overkill for
+        # a 3-wide output but keeps all cotangents at the same fidelity
+        d_s = d_ref[:, pl.ds(off, co)]
+        drf_acc = drf_acc + mm(du, d_s, ((1,), (1,)))
+        # dW_s = g^T @ dpi    (contract rows)
+        dw_ref[:, pl.ds(off, co)] += mm(g, dpi, ((0,), (0,)))
+        db_ref[0:1, pl.ds(off, co)] += jnp.sum(dpi, axis=0, keepdims=True)
+        # dd_s = rf^T @ du    (contract rows)
+        dd_ref[0:3, pl.ds(off, co)] += mm(rf, du, ((0,), (0,)))
+        return dg_acc, drf_acc
+
+    dg_acc, drf_acc = jax.lax.fori_loop(
+        0, s, body, (jnp.zeros((rows, cin), jnp.float32),
+                     jnp.zeros((rows, 3), jnp.float32)))
+    dg_ref[0] = dg_acc.reshape(kp, tq, cin)
+    drf_ref[0] = drf_acc.reshape(kp, tq, 3)
+
+
+def _surface_bwd_kernel(rf_ref, d_ref, gbar_ref, drf_ref, dd_ref, *, s: int,
+                        co: int, k_valid: int, exact: bool):
+    """Backward of the theta-only reduction: cotangents for rf and dirs."""
+    kp, tq = rf_ref.shape[1], rf_ref.shape[2]
+    rows = kp * tq
+    rf = rf_ref[0].reshape(rows, 3).astype(jnp.float32)
+    gb = gbar_ref[0] / s
+
+    is_first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(is_first)
+    def _():
+        dd_ref[:] = jnp.zeros_like(dd_ref)
+
+    dflt = jax.lax.Precision.DEFAULT
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (kp, tq, co), 0)
+
+    def body(j, drf_acc):
+        off = pl.multiple_of(j * co, co)
+        theta = _theta_vpu(rf, d_ref, off, co)
+        prod = theta.reshape(kp, tq, co)
+        m = jnp.max(prod[:k_valid], axis=0)
+        eq = jnp.logical_and(prod >= m[None], k_iota < k_valid)
+        ik = jnp.min(jnp.where(eq, k_iota, kp), axis=0)
+        sel = (k_iota == ik[None]).astype(jnp.float32)
+        du = jnp.where(theta > 0, (sel * gb[None]).reshape(rows, co), 0.0)
+        d_s = d_ref[:, pl.ds(off, co)]
+        drf_acc = drf_acc + jax.lax.dot_general(
+            du, d_s, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=dflt)
+        dd_ref[0:3, pl.ds(off, co)] += jax.lax.dot_general(
+            rf, du, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=dflt)
+        return drf_acc
+
+    drf_acc = jax.lax.fori_loop(0, s, body, jnp.zeros((rows, 3), jnp.float32))
+    drf_ref[0] = drf_acc.reshape(kp, tq, 3)
+
+
+def _prep_kmajor(x, tq):
+    """(B, K, N, C): pad K to the sublane multiple and N to the tile multiple."""
+    B, K, N, C = x.shape
     k_pad = ((K + _K_ALIGN - 1) // _K_ALIGN) * _K_ALIGN
     n_pad = ((N + tq - 1) // tq) * tq
-    rf = _pad_n(_pad_k(rf_norm, k_pad), n_pad).reshape(B, n_pad * k_pad, 3)
-    out = [rf, k_pad, n_pad]
-    if gathered is not None:
-        g = _pad_n(_pad_k(gathered, k_pad), n_pad)
-        g = g.reshape(B, n_pad * k_pad, gathered.shape[-1])
-        out.insert(0, g)
-    return out
+    return _pad_axis(_pad_axis(x, k_pad, 1), n_pad, 2), k_pad, n_pad
+
+
+def _support_pallas(g, rf, w, b2, d, *, s, co, k_valid, tq, exact, interpret,
+                    theta_mxu=True):
+    """Forward pallas_call on padded k-major inputs -> (B, n_pad, Co)."""
+    B, k_pad, n_pad, cin = g.shape
+    s_co = s * co
+    return pl.pallas_call(
+        functools.partial(_support_kernel, s=s, co=co, k_valid=k_valid,
+                          exact=exact, theta_mxu=theta_mxu),
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, co), jnp.float32),
+        grid=(B, n_pad // tq),
+        in_specs=[
+            pl.BlockSpec((1, k_pad, tq, cin), lambda i, j: (i, 0, j, 0)),
+            pl.BlockSpec((1, k_pad, tq, 3), lambda i, j: (i, 0, j, 0)),
+            pl.BlockSpec((cin, s_co), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, s_co), lambda i, j: (0, 0)),
+            pl.BlockSpec((3, s_co), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tq, co), lambda i, j: (i, j, 0)),
+        interpret=interpret,
+    )(g, rf, w, b2, d)
+
+
+def _support_pallas_bwd(g, rf, w, b2, d, gbar, *, s, co, k_valid, tq, exact,
+                        interpret):
+    """Backward pallas_call -> (dg, drf, dw, db2, dd) on padded shapes."""
+    B, k_pad, n_pad, cin = g.shape
+    s_co = s * co
+    tq = _pick_tq_bwd(tq, n_pad, k_pad, cin, co, s_co)  # bwd holds more VMEM/row
+    dg, drf, dw, db, dd = pl.pallas_call(
+        functools.partial(_support_bwd_kernel, s=s, co=co, k_valid=k_valid,
+                          exact=exact),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, k_pad, n_pad, cin), jnp.float32),
+            jax.ShapeDtypeStruct((B, k_pad, n_pad, 3), jnp.float32),
+            jax.ShapeDtypeStruct((cin, s_co), jnp.float32),
+            jax.ShapeDtypeStruct((8, s_co), jnp.float32),
+            jax.ShapeDtypeStruct((8, s_co), jnp.float32),
+        ),
+        grid=(B, n_pad // tq),
+        in_specs=[
+            pl.BlockSpec((1, k_pad, tq, cin), lambda i, j: (i, 0, j, 0)),
+            pl.BlockSpec((1, k_pad, tq, 3), lambda i, j: (i, 0, j, 0)),
+            pl.BlockSpec((cin, s_co), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, s_co), lambda i, j: (0, 0)),
+            pl.BlockSpec((3, s_co), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, tq, co), lambda i, j: (i, j, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, k_pad, tq, cin), lambda i, j: (i, 0, j, 0)),
+            pl.BlockSpec((1, k_pad, tq, 3), lambda i, j: (i, 0, j, 0)),
+            pl.BlockSpec((cin, s_co), lambda i, j: (0, 0)),
+            pl.BlockSpec((8, s_co), lambda i, j: (0, 0)),
+            pl.BlockSpec((8, s_co), lambda i, j: (0, 0)),
+        ),
+        interpret=interpret,
+    )(g, rf, w, b2, d, gbar)
+    return dg, drf, dw, db[0:1], dd[0:3]
+
+
+@functools.lru_cache(maxsize=None)
+def _support_diff_fn(s, co, k_valid, tq, exact, interpret, theta_mxu=True):
+    """custom_vjp-wrapped support reduction over padded k-major tensors."""
+
+    @jax.custom_vjp
+    def fn(g, rf, w, b2, d):
+        return _support_pallas(g, rf, w, b2, d, s=s, co=co, k_valid=k_valid,
+                               tq=tq, exact=exact, interpret=interpret,
+                               theta_mxu=theta_mxu)
+
+    def fwd(g, rf, w, b2, d):
+        return fn(g, rf, w, b2, d), (g, rf, w, b2, d)
+
+    def bwd(res, gbar):
+        g, rf, w, b2, d = res
+        dg, drf, dw, db2, dd = _support_pallas_bwd(
+            g, rf, w, b2, d, gbar, s=s, co=co, k_valid=k_valid, tq=tq,
+            exact=exact, interpret=interpret)
+        return (dg.astype(g.dtype), drf.astype(rf.dtype), dw.astype(w.dtype),
+                db2.astype(b2.dtype), dd.astype(d.dtype))
+
+    fn.defvjp(fwd, bwd)
+    return fn
 
 
 @functools.partial(jax.jit, static_argnames=("support_num", "out_channel", "tq",
-                                             "exact", "interpret"))
+                                             "exact", "interpret", "kmajor",
+                                             "theta_mxu"))
 def hs_support_reduce(gathered: jnp.ndarray, rf_norm: jnp.ndarray,
                       weights: jnp.ndarray, bias: jnp.ndarray, dirs: jnp.ndarray,
-                      support_num: int, out_channel: int, tq: int = 64,
-                      exact: bool = True, interpret: bool = False) -> jnp.ndarray:
-    """gathered (B, N, K, Cin), rf_norm (B, N, K, 3), weights (Cin, S*Co),
-    bias (S*Co,), dirs (3, S*Co) -> (B, N, Co)."""
-    B, N, K, Cin = gathered.shape
-    g, rf, k_pad, n_pad = _prep(gathered, rf_norm, tq)
-    out = pl.pallas_call(
-        functools.partial(_reduce_kernel, s=support_num, co=out_channel,
-                          k_pad=k_pad, k_valid=K, exact=exact),
-        out_shape=jax.ShapeDtypeStruct((B, n_pad, out_channel), jnp.float32),
-        grid=(B, n_pad // tq),
-        in_specs=[
-            pl.BlockSpec((1, tq * k_pad, Cin), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, tq * k_pad, 3), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((Cin, support_num * out_channel), lambda i, j: (0, 0)),
-            pl.BlockSpec((1, support_num * out_channel), lambda i, j: (0, 0)),
-            pl.BlockSpec((3, support_num * out_channel), lambda i, j: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, tq, out_channel), lambda i, j: (i, j, 0)),
-        interpret=interpret,
-    )(g, rf, weights, bias.reshape(1, -1), dirs)
+                      support_num: int, out_channel: int, tq: int = 0,
+                      exact: bool = True, interpret: bool = False,
+                      kmajor: bool = False,
+                      theta_mxu: bool | None = None) -> jnp.ndarray:
+    """``mean_s max_k relu(rf·dir_s)·(gathered @ W_s + b_s)`` per point.
+
+    gathered (B, N, K, Cin), rf_norm (B, N, K, 3) — or (B, K, N, ·) when
+    ``kmajor=True`` (preferred: the caller's gather can emit that layout for free,
+    the (B,N,K,C) form costs an HBM-round-trip transpose here).
+    weights (Cin, S·Co), bias (S·Co,), dirs (3, S·Co) -> (B, N, Co) f32.
+
+    Fully differentiable: a custom VJP pairs the forward with a fused backward
+    kernel emitting cotangents for all five tensor inputs (the reference trains
+    this op end-to-end, gcn3d.py:92-187).
+    """
+    if theta_mxu is None:
+        theta_mxu = not exact  # measured: VPU theta wins for exact, MXU for fast
+    if tq <= 0:
+        tq = 128
+    if not kmajor:
+        gathered = _to_kmajor(gathered)
+        rf_norm = _to_kmajor(rf_norm)
+    B, K, N, Cin = gathered.shape
+    s_co = support_num * out_channel
+    k_pad = ((K + _K_ALIGN - 1) // _K_ALIGN) * _K_ALIGN
+    tq = _pick_tq(tq, k_pad, Cin, out_channel, s_co)
+    g, k_pad, n_pad = _prep_kmajor(gathered, tq)
+    rf, _, _ = _prep_kmajor(rf_norm, tq)
+    fn = _support_diff_fn(support_num, out_channel, K, tq, exact, interpret,
+                          theta_mxu)
+    out = fn(g, rf, weights, bias.reshape(1, -1), dirs)
     return out[:, :N]
 
 
-@functools.partial(jax.jit, static_argnames=("support_num", "out_channel", "tq",
-                                             "interpret"))
-def hs_surface_reduce(rf_norm: jnp.ndarray, dirs: jnp.ndarray, support_num: int,
-                      out_channel: int, tq: int = 128,
-                      interpret: bool = False) -> jnp.ndarray:
-    """rf_norm (B, N, K, 3), dirs (3, S*C) -> (B, N, C) theta-only reduction."""
-    B, N, K, _ = rf_norm.shape
-    rf, k_pad, n_pad = _prep(None, rf_norm, tq)
-    out = pl.pallas_call(
-        functools.partial(_surface_kernel, s=support_num, co=out_channel,
-                          k_pad=k_pad, k_valid=K),
-        out_shape=jax.ShapeDtypeStruct((B, n_pad, out_channel), jnp.float32),
+def _surface_pallas(rf, d, *, s, co, k_valid, tq, exact, interpret,
+                    theta_mxu=True):
+    B, k_pad, n_pad, _ = rf.shape
+    s_co = s * co
+    return pl.pallas_call(
+        functools.partial(_surface_kernel, s=s, co=co, k_valid=k_valid,
+                          exact=exact, theta_mxu=theta_mxu),
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, co), jnp.float32),
         grid=(B, n_pad // tq),
         in_specs=[
-            pl.BlockSpec((1, tq * k_pad, 3), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((3, support_num * out_channel), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, k_pad, tq, 3), lambda i, j: (i, 0, j, 0)),
+            pl.BlockSpec((3, s_co), lambda i, j: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, tq, out_channel), lambda i, j: (i, j, 0)),
+        out_specs=pl.BlockSpec((1, tq, co), lambda i, j: (i, j, 0)),
         interpret=interpret,
-    )(rf, dirs)
+    )(rf, d)
+
+
+@functools.lru_cache(maxsize=None)
+def _surface_diff_fn(s, co, k_valid, tq, exact, interpret, theta_mxu=True):
+    @jax.custom_vjp
+    def fn(rf, d):
+        return _surface_pallas(rf, d, s=s, co=co, k_valid=k_valid, tq=tq,
+                               exact=exact, interpret=interpret,
+                               theta_mxu=theta_mxu)
+
+    def fwd(rf, d):
+        return fn(rf, d), (rf, d)
+
+    def bwd(res, gbar):
+        rf, d = res
+        B, k_pad, n_pad, _ = rf.shape
+        s_co = s * co
+        drf, dd = pl.pallas_call(
+            functools.partial(_surface_bwd_kernel, s=s, co=co, k_valid=k_valid,
+                              exact=exact),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, k_pad, n_pad, 3), jnp.float32),
+                jax.ShapeDtypeStruct((8, s_co), jnp.float32),
+            ),
+            grid=(B, n_pad // tq),
+            in_specs=[
+                pl.BlockSpec((1, k_pad, tq, 3), lambda i, j: (i, 0, j, 0)),
+                pl.BlockSpec((3, s_co), lambda i, j: (0, 0)),
+                pl.BlockSpec((1, tq, co), lambda i, j: (i, j, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, k_pad, tq, 3), lambda i, j: (i, 0, j, 0)),
+                pl.BlockSpec((8, s_co), lambda i, j: (0, 0)),
+            ),
+            interpret=interpret,
+        )(rf, d, gbar)
+        return drf.astype(rf.dtype), dd[0:3].astype(d.dtype)
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
+@functools.partial(jax.jit, static_argnames=("support_num", "out_channel", "tq",
+                                             "exact", "interpret", "kmajor",
+                                             "theta_mxu"))
+def hs_surface_reduce(rf_norm: jnp.ndarray, dirs: jnp.ndarray, support_num: int,
+                      out_channel: int, tq: int = 0, exact: bool = True,
+                      interpret: bool = False, kmajor: bool = False,
+                      theta_mxu: bool | None = None) -> jnp.ndarray:
+    """rf_norm (B, N, K, 3) (or (B, K, N, 3) with ``kmajor=True``),
+    dirs (3, S·C) -> (B, N, C) theta-only reduction.
+
+    Differentiable via a custom VJP (cotangents for both rf and dirs)."""
+    if theta_mxu is None:
+        theta_mxu = not exact
+    if tq <= 0:
+        tq = 64 if exact else 128
+    if not kmajor:
+        rf_norm = _to_kmajor(rf_norm)
+    B, K, N, _ = rf_norm.shape
+    s_co = support_num * out_channel
+    k_pad = ((K + _K_ALIGN - 1) // _K_ALIGN) * _K_ALIGN
+    tq = _pick_tq(tq, k_pad, 0, out_channel, s_co)
+    rf, k_pad, n_pad = _prep_kmajor(rf_norm, tq)
+    fn = _surface_diff_fn(support_num, out_channel, K, tq, exact, interpret,
+                          theta_mxu)
+    out = fn(rf, dirs)
     return out[:, :N]

@@ -208,3 +208,41 @@ def test_augmentation_bb_rt_parity(setup, rng):
     j_pc = our_aug.defor_pc(jax.random.key(0), jnp.array(x["points"]),
                             jnp.array(x["t"]), 0.2, defor=jnp.array(defor))
     np.testing.assert_allclose(np.asarray(j_pc), t_pc.numpy(), atol=2e-5)
+
+
+def test_augmentation_bc_parity(setup, rng):
+    """Box-cage taper vs defor_3D_bc_in_batch (data_augmentation.py:106-126)
+    with injected ey_up/ey_down randomness (torch.rand monkeypatched)."""
+    jnp, _ = setup
+    from datasets.data_augmentation import defor_3D_bc_in_batch
+    from hspose_tpu.data import augment as our_aug
+    import jax
+
+    x = _inputs(rng)
+    bs = x["points"].shape[0]
+    model_point = rng.normal(scale=0.2, size=(bs, 64, 3)).astype(np.float32)
+    nocs_scale = (rng.random(bs).astype(np.float32) + 0.5)
+    full_s = x["s"] + x["mean_shape"]
+    ey_up = rng.uniform(0.8, 1.2, size=(bs, 1)).astype(np.float32)
+    ey_down = rng.uniform(0.8, 1.2, size=(bs, 1)).astype(np.float32)
+
+    # the reference draws torch.rand internally: inject via monkeypatch.
+    # torch.rand maps to ey = rand*(1.2-0.8)+0.8 -> rand = (ey-0.8)/0.4
+    draws = [(torch.tensor(ey_up) - 0.8) / 0.4, (torch.tensor(ey_down) - 0.8) / 0.4]
+    orig_rand = torch.rand
+    torch.rand = lambda *a, **k: draws.pop(0)
+    try:
+        t_pc, t_s, t_up, t_down = defor_3D_bc_in_batch(
+            torch.tensor(x["points"]), torch.tensor(x["R"]), torch.tensor(x["t"]),
+            torch.tensor(full_s), torch.tensor(model_point),
+            torch.tensor(nocs_scale))
+    finally:
+        torch.rand = orig_rand
+    np.testing.assert_allclose(t_up.numpy(), ey_up)  # injection worked
+
+    j_pc, j_s = our_aug.defor_bc(
+        jax.random.key(0), jnp.array(x["points"]), jnp.array(x["R"]),
+        jnp.array(x["t"]), jnp.array(full_s), jnp.array(model_point),
+        jnp.array(nocs_scale), ey_up=jnp.array(ey_up), ey_down=jnp.array(ey_down))
+    np.testing.assert_allclose(np.asarray(j_pc), t_pc.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(j_s), t_s.numpy(), atol=2e-5)

@@ -146,3 +146,73 @@ class TestFullChain:
         upd, _ = tx.update(g, state, params)
         # clipped to norm 5 then radam-normalized: finite, bounded
         assert np.isfinite(float(upd["w"][0]))
+
+
+class TestSchedulerVariants:
+    """WarmupMultiStepLR / WarmupCosineLR curves (reference
+    tools/solver_utils.py:62-78, detectron2 semantics)."""
+
+    def test_multistep_curve(self):
+        from hspose_tpu.engine.schedule import warmup_multistep_factor
+
+        total, wi, wf, gamma = 9000, 900, 1e-3, 0.1
+        rel = (2 / 3, 8 / 9)
+        # warmup start: factor ~= warmup_factor
+        assert abs(float(warmup_multistep_factor(0, total, rel, gamma, wi, wf)) - wf) < 1e-6
+        # mid warmup: linear blend
+        alpha = 450 / wi
+        want = wf * (1 - alpha) + alpha
+        np.testing.assert_allclose(
+            float(warmup_multistep_factor(450, total, rel, gamma, wi, wf)), want,
+            rtol=1e-6)
+        # flat at 1.0 after warmup, before first milestone (6000)
+        assert float(warmup_multistep_factor(5999, total, rel, gamma, wi, wf)) == 1.0
+        # gamma after first milestone, gamma^2 after second (8000)
+        np.testing.assert_allclose(
+            float(warmup_multistep_factor(6000, total, rel, gamma, wi, wf)), gamma,
+            rtol=1e-6)
+        np.testing.assert_allclose(
+            float(warmup_multistep_factor(8500, total, rel, gamma, wi, wf)),
+            gamma ** 2, rtol=1e-6)
+
+    def test_cosine_curve(self):
+        from hspose_tpu.engine.schedule import warmup_cosine_factor
+
+        total, wi, wf = 10000, 1000, 1e-3
+        # after warmup: 0.5*(1+cos(pi * t/T))
+        for step in (2000, 5000, 9000):
+            want = 0.5 * (1 + np.cos(np.pi * step / total))
+            np.testing.assert_allclose(
+                float(warmup_cosine_factor(step, total, wi, wf)), want, rtol=1e-5)
+        # warmup region is additionally scaled by the linear blend
+        alpha = 500 / wi
+        blend = wf * (1 - alpha) + alpha
+        want = blend * 0.5 * (1 + np.cos(np.pi * 500 / total))
+        np.testing.assert_allclose(
+            float(warmup_cosine_factor(500, total, wi, wf)), want, rtol=1e-5)
+
+    def test_constant_warmup(self):
+        from hspose_tpu.engine.schedule import warmup_cosine_factor
+
+        total, wi, wf = 10000, 1000, 0.5
+        got = float(warmup_cosine_factor(100, total, wi, wf, "constant"))
+        want = wf * 0.5 * (1 + np.cos(np.pi * 100 / total))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_build_schedule_dispatch(self):
+        import dataclasses
+
+        from hspose_tpu.config import default_config
+        from hspose_tpu.engine.schedule import build_schedule
+
+        cfg = default_config().optim
+        for name in ("WarmupMultiStepLR", "WarmupCosineLR", "flat_and_anneal"):
+            sched = build_schedule(dataclasses.replace(cfg, lr_scheduler_name=name),
+                                   10000)
+            assert np.isfinite(float(sched(5000)))
+        try:
+            build_schedule(dataclasses.replace(cfg, lr_scheduler_name="bogus"),
+                           10000)(0)
+            assert False, "should have raised"
+        except ValueError:
+            pass
