@@ -225,11 +225,34 @@ def _apply_dotted(cfg: HSPoseConfig, dotted: str, value: str) -> HSPoseConfig:
     return dataclasses.replace(cfg, **{section_name: dataclasses.replace(section, **{key: new})})
 
 
+def format_help(cfg: Optional[HSPoseConfig] = None) -> str:
+    """Flag listing in the spirit of the reference's ``--help`` (absl flags,
+    config/config.py:6-125): every section.key with its type and default."""
+    cfg = cfg or default_config()
+    lines = ["Overrides take the form section.key=value (a leading -- is allowed).",
+             ""]
+    for f in dataclasses.fields(cfg):
+        section = getattr(cfg, f.name)
+        lines.append(f"[{f.name}]")
+        for sf in dataclasses.fields(section):
+            default = getattr(section, sf.name)
+            lines.append(f"  {f.name}.{sf.name}={default!r}  ({type(default).__name__})")
+        lines.append("")
+    return "\n".join(lines)
+
+
 def parse_overrides(argv, cfg: Optional[HSPoseConfig] = None) -> HSPoseConfig:
-    """Parse CLI args of the form ``section.key=value`` (also accepts ``--section.key=value``)."""
+    """Parse CLI args of the form ``section.key=value`` (also accepts ``--section.key=value``).
+
+    ``--help``/``-h`` prints the full flag listing and exits, like the
+    reference's absl CLI.
+    """
     cfg = cfg or default_config()
     for arg in argv:
         arg = arg.lstrip("-")
+        if arg in ("help", "h"):
+            print(format_help(cfg))
+            raise SystemExit(0)
         if "=" not in arg:
             raise ValueError(f"unrecognized argument '{arg}' (expected section.key=value)")
         dotted, _, value = arg.partition("=")

@@ -36,9 +36,50 @@ class PoseEvalDataset:
         self.detection_dir = cfg.detection_dir
         lists = _read_img_lists(self.data_dir, cfg.dataset, mode)
         self.img_list = lists.img_list
+        # For CAMERA the reference keys sym/mean-shape lookups by ShapeNet synset
+        # (load_data_eval.py:69-76): synset mean shapes differ from the Real ones
+        # (:361-384) and get_sym_info falls through to no-symmetry for synsets
+        # (:435-436) — both quirks are intentional and preserved here.
+        if cfg.dataset == "CAMERA":
+            self.id2cat_name = {str(i + 1): sym_tab.SHAPENET_SYNSET[n]
+                                for i, n in enumerate(sym_tab.CAT_NAMES)}
+        else:
+            self.id2cat_name = {str(i + 1): n
+                                for i, n in enumerate(sym_tab.CAT_NAMES)}
+        # Per-obj eval is gated exactly like load_data_eval.py:82-83: only for the
+        # Real source and never for 'can'.  When active, the image list shrinks to
+        # images whose GT contains the category (cached like the train side,
+        # load_data_eval.py:84-125).
+        self.per_obj = cfg.per_obj
+        self.per_obj_id = None
+        if (cfg.per_obj in sym_tab.CAT_NAMES and cfg.per_obj != "can"
+                and cfg.dataset == "Real"):
+            self.per_obj_id = sym_tab.CAT_NAME2ID[cfg.per_obj]
+            self.img_list = self._filter_per_obj(self.img_list, mode)
         self.length = len(self.img_list)
-        self.per_obj_id = sym_tab.CAT_NAME2ID.get(cfg.per_obj)
-        self.id2cat_name = {str(i + 1): n for i, n in enumerate(sym_tab.CAT_NAMES)}
+
+    def _filter_per_obj(self, img_list, mode):
+        """Keep only images containing the target category, with an on-disk cache
+        (load_data_eval.py:84-125; same cache layout as the train side)."""
+        cache_dir = os.path.join(self.data_dir, "img_list")
+        os.makedirs(cache_dir, exist_ok=True)
+        cache = os.path.join(
+            cache_dir, f"{self.per_obj}_{self.cfg.dataset}_{mode}_img_list.txt")
+        if os.path.exists(cache):
+            with open(cache) as f:
+                return [line.rstrip("\n") for line in f]
+        kept = []
+        for rel in img_list:
+            try:
+                with open(os.path.join(self.data_dir, rel + "_label.pkl"), "rb") as f:
+                    gts = pickle.load(f)
+                if self.per_obj_id in gts["class_ids"]:
+                    kept.append(rel)
+            except Exception:
+                continue
+        with open(cache, "w") as f:
+            f.writelines(k + "\n" for k in kept)
+        return kept
 
     def __len__(self):
         return self.length

@@ -20,8 +20,9 @@ from hspose_tpu.data.dataset import (
 H, W = 480, 640
 
 
-def _write_scene(root, split, scene, img_id, class_ids, with_detections=False):
-    scene_dir = os.path.join(root, "Real", split, scene)
+def _write_scene(root, split, scene, img_id, class_ids, with_detections=False,
+                 source="Real"):
+    scene_dir = os.path.join(root, source, split, scene)
     os.makedirs(scene_dir, exist_ok=True)
     prefix = os.path.join(scene_dir, img_id)
     rng = np.random.default_rng(hash((scene, img_id)) % 2**31)
@@ -64,7 +65,9 @@ def _write_scene(root, split, scene, img_id, class_ids, with_detections=False):
         pickle.dump(gts, f)
 
     if with_detections:
-        det_dir = os.path.join(os.path.dirname(root), "segmentation_results", "REAL275")
+        det_split = "REAL275" if source == "Real" else "CAMERA25"
+        det_mode = "test" if source == "Real" else "val"
+        det_dir = os.path.join(os.path.dirname(root), "segmentation_results", det_split)
         os.makedirs(det_dir, exist_ok=True)
         det = {
             "pred_class_ids": np.array(class_ids, np.int32),
@@ -81,7 +84,7 @@ def _write_scene(root, split, scene, img_id, class_ids, with_detections=False):
         for k, inst in enumerate(inst_ids):
             masks[:, :, k] = (mask[:, :, 2] == inst).astype(np.uint8)
         det["pred_masks"] = masks
-        with open(os.path.join(det_dir, f"results_test_{scene}_{img_id}.pkl"),
+        with open(os.path.join(det_dir, f"results_{det_mode}_{scene}_{img_id}.pkl"),
                   "wb") as f:
             pickle.dump(det, f)
     return gts
