@@ -111,6 +111,50 @@ def _knn_kernel_fast(x_ref, q_ref, out_ref, *, k: int, n_valid: int,
     jax.lax.fori_loop(0, k, extract, key, unroll=True)
 
 
+def _knn_kernel_streamed(x_ref, q_ref, out_ref, run_d, run_i, *, k: int,
+                         n_valid: int, ts: int, n_blocks: int, use_mxu: bool):
+    """Streamed-source variant: one (batch, query-tile, source-block) program.
+
+    Source points stream through VMEM in (TS, D) blocks (the pipeline
+    double-buffers them); a running top-k — distances ``run_d`` (TQ, k) and
+    global indices ``run_i`` (TQ, k) — lives in scratch and persists across the
+    innermost grid axis.  Each block is merged by k first-occurrence-argmin
+    extraction passes over [running | block] (same total reduction work as the
+    flat kernel: k passes over N columns overall).  VMEM is flat in N — this is
+    the SURVEY §5.7 large-N scaling path (flash-attention-style key streaming).
+    """
+    s = pl.program_id(2)
+    x = x_ref[0]  # (TS, D) current source block
+    q = q_ref[0]  # (TQ, D)
+    tq = q.shape[0]
+
+    @pl.when(s == 0)
+    def _init():
+        run_d[...] = jnp.full(run_d.shape, _BIG, jnp.float32)
+        run_i[...] = jnp.full(run_i.shape, _INT_BIG, jnp.int32)
+
+    d_blk = _distance_tile(x, q, use_mxu, fast=False)  # (TQ, TS)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tq, ts), 1) + s * ts
+    d_blk = jnp.where(col < n_valid, d_blk, _BIG)
+
+    d = jnp.concatenate([run_d[...], d_blk], axis=1)  # (TQ, k+TS)
+    gi = jnp.concatenate([run_i[...], col], axis=1)
+
+    # unrolled extraction with per-column ref stores (Mosaic has no scatter);
+    # the running state was already read into d/gi above, so overwriting it
+    # column-by-column here is safe
+    for j in range(k):
+        m = jnp.min(d, axis=1, keepdims=True)
+        idx = jnp.min(jnp.where(d <= m, gi, _INT_BIG), axis=1)  # (TQ,)
+        run_d[:, j] = m[:, 0]
+        run_i[:, j] = idx
+        d = jnp.where(gi == idx[:, None], _BIG, d)
+
+    @pl.when(s == n_blocks - 1)
+    def _emit():
+        out_ref[0] = run_i[...]
+
+
 def _pad_to(x, n, axis, value=0.0):
     pad = n - x.shape[axis]
     if pad <= 0:
@@ -120,31 +164,63 @@ def _pad_to(x, n, axis, value=0.0):
     return jnp.pad(x, widths, constant_values=value)
 
 
-@functools.partial(jax.custom_jvp, nondiff_argnums=(1, 2, 3, 4))
-@functools.partial(jax.jit, static_argnames=("k", "tq", "interpret", "fast"))
+# above this many padded source points the flat kernel's (Npad, D) + (TQ, Npad)
+# VMEM residency stops scaling; stream source blocks instead (SURVEY §5.7)
+_STREAM_THRESHOLD = 2048
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(1, 2, 3, 4, 5))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "tq", "interpret", "fast", "ts"))
 def knn_indices_pallas(points: jnp.ndarray, k: int, tq: int = 128,
-                       interpret: bool = False, fast: bool = False) -> jnp.ndarray:
+                       interpret: bool = False, fast: bool = False,
+                       ts: int = 512) -> jnp.ndarray:
     """Indices of the k nearest neighbours excluding self: (B, N, D) -> (B, N, k).
 
     Drop-in replacement for ``ops.knn.knn_indices`` built on the fused kernel.
     Integer outputs carry no tangents; the custom_jvp below makes that explicit so
     the kernel can sit inside differentiated training graphs (pallas_call itself
     has no autodiff rule).
+
+    Up to ``_STREAM_THRESHOLD`` padded points the whole source cloud sits in
+    VMEM; beyond that, source blocks of ``ts`` points stream through VMEM with a
+    running top-k merge, so memory stays flat in N.
     """
     B, N, D = points.shape
     npad = ((N + 127) // 128) * 128
     nq = ((N + tq - 1) // tq) * tq
     dtype = points.dtype if points.dtype == jnp.bfloat16 else jnp.float32
-    # pad source with far-away sentinels, queries with zeros (rows sliced off)
-    x = _pad_to(points.astype(dtype), npad, 1)
-    q = _pad_to(points.astype(dtype), nq, 1)
     use_mxu = D > 8
     if not use_mxu and D < 3:
         raise ValueError("D must be >= 3")
+    kk = k + 1  # include self, dropped below
+    q = _pad_to(points.astype(dtype), nq, 1)
+
+    if npad > _STREAM_THRESHOLD:
+        npad = ((N + ts - 1) // ts) * ts
+        n_blocks = npad // ts
+        x = _pad_to(points.astype(dtype), npad, 1)
+        out = pl.pallas_call(
+            functools.partial(_knn_kernel_streamed, k=kk, n_valid=N, ts=ts,
+                              n_blocks=n_blocks, use_mxu=use_mxu),
+            out_shape=jax.ShapeDtypeStruct((B, nq, kk), jnp.int32),
+            grid=(B, nq // tq, n_blocks),
+            in_specs=[
+                pl.BlockSpec((1, ts, D), lambda i, j, s: (i, s, 0)),
+                pl.BlockSpec((1, tq, D), lambda i, j, s: (i, j, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, tq, kk), lambda i, j, s: (i, j, 0)),
+            scratch_shapes=[pltpu.VMEM((tq, kk), jnp.float32),
+                            pltpu.VMEM((tq, kk), jnp.int32)],
+            interpret=interpret,
+        )(x, q)
+        return out[:, :N, 1:]
+
+    # flat path: pad source with far-away sentinels, queries with zeros
+    x = _pad_to(points.astype(dtype), npad, 1)
     if fast and npad > (1 << _IDX_BITS):
         fast = False  # index no longer fits the packed key; fall back to exact
 
-    kk = k + 1  # include self, dropped below
     kernel = _knn_kernel_fast if fast else _knn_kernel
     grid = (B, nq // tq)
     out = pl.pallas_call(
@@ -162,10 +238,10 @@ def knn_indices_pallas(points: jnp.ndarray, k: int, tq: int = 128,
 
 
 @knn_indices_pallas.defjvp
-def _knn_indices_jvp(k, tq, interpret, fast, primals, tangents):
+def _knn_indices_jvp(k, tq, interpret, fast, ts, primals, tangents):
     import numpy as _np
 
     (points,) = primals
-    out = knn_indices_pallas(points, k, tq, interpret, fast)
+    out = knn_indices_pallas(points, k, tq, interpret, fast, ts)
     tangent = _np.zeros(out.shape, dtype=jax.dtypes.float0)
     return out, tangent
