@@ -23,10 +23,6 @@ import numpy as np
 import dataclasses
 
 from hspose_tpu.config import HSPoseConfig, parse_overrides
-
-
-def dataclasses_replace_dp(parallel_cfg, dp):
-    return dataclasses.replace(parallel_cfg, dp=dp)
 from hspose_tpu.engine.checkpoint import restore_checkpoint, save_checkpoint
 from hspose_tpu.engine.train_step import build_train_step
 from hspose_tpu.models.hspose import build_model
@@ -63,7 +59,7 @@ def train(cfg: HSPoseConfig):
     dp = cfg.parallel.dp if cfg.parallel.dp > 0 else n_dev
     while cfg.train.batch_size % dp != 0:
         dp -= 1
-    mesh = make_mesh(dataclasses_replace_dp(cfg.parallel, dp))
+    mesh = make_mesh(dataclasses.replace(cfg.parallel, dp=dp))
     logger.info("device mesh: %s", mesh)
     # replicate params/opt state across the mesh (restored checkpoints arrive
     # committed to a single device, which conflicts with mesh-sharded batches)
@@ -89,7 +85,11 @@ def train(cfg: HSPoseConfig):
             if profile_dir and i == 10 and epoch == s_epoch:
                 jax.profiler.start_trace(profile_dir)
             batch = shard_batch(mesh, batch)
-            state, metrics = train_step(state, batch, data_key)
+            # per-step key at the loop level; the step additionally folds in
+            # state.step, so per-step uniqueness survives either side being
+            # reordered (deliberate redundancy, not an accident)
+            step_key = jax.random.fold_in(data_key, epoch * cfg.train.train_steps + i)
+            state, metrics = train_step(state, batch, step_key)
             if cfg.train.debug_nan:
                 from hspose_tpu.engine.train_step import check_finite_metrics
 

@@ -158,8 +158,11 @@ def test_recon_loss_parity(setup, rng):
     keys = ["recon_per_p", "recon_p_f", "recon_point_vote", "recon_point_r",
             "recon_point_t", "recon_point_s", "recon_point_self"]
     assert set(ours) == set(keys)
+    # measured drift vs the reference is ~2e-7 across seeds (f64 ground-truth
+    # study: both sides are equally accurate; the WLS plane fit via solve vs
+    # torch.inverse contributes <1e-7) — same tolerance as the other families
     for k in keys:
-        np.testing.assert_allclose(float(ours[k]), float(ref[k]), rtol=2e-3, atol=1e-4,
+        np.testing.assert_allclose(float(ours[k]), float(ref[k]), rtol=2e-4, atol=2e-5,
                                    err_msg=k)
 
 
