@@ -35,13 +35,28 @@ def batched_pose_inference(cfg: HSPoseConfig, model, params, batch_stats,
     (pred_results, crops_per_second).
     """
     import jax
-    import jax.numpy as jnp
 
+    from hspose_tpu.config import ParallelConfig
     from hspose_tpu.geometry.rotations import generate_RT
     from hspose_tpu.models.hspose import eval_forward
+    from hspose_tpu.parallel.mesh import (
+        batch_sharding,
+        make_mesh,
+        replicate_state,
+    )
 
     B = cfg.eval.eval_batch
     n_pts = cfg.data.num_points
+
+    # shard crop batches over the data-parallel mesh (multi-chip serving path;
+    # a 1-device mesh degenerates to the plain single-chip case)
+    n_dev = len(jax.devices())
+    dp = cfg.parallel.dp if cfg.parallel.dp > 0 else n_dev
+    while B % dp != 0:
+        dp -= 1
+    mesh = make_mesh(ParallelConfig(dp=dp), jax.devices()[:dp])
+    params, batch_stats = replicate_state(mesh, (params, batch_stats))
+    crop_sharding = batch_sharding(mesh)
 
     # flatten crops
     clouds, ids, syms, means, owners = [], [], [], [], []
@@ -76,8 +91,11 @@ def batched_pose_inference(cfg: HSPoseConfig, model, params, batch_stats,
         obj_id = np.array(list(ids[lo:hi]) + [ids[lo]] * pad, np.int32)
         sym = np.stack(syms[lo:hi] + [syms[lo]] * pad)
         mean = np.stack(means[lo:hi] + [means[lo]] * pad)
-        RT, scales = forward(jnp.asarray(pc), jnp.asarray(obj_id), jnp.asarray(sym),
-                             jnp.asarray(mean), jax.random.fold_in(key, b))
+        RT, scales = forward(jax.device_put(pc, crop_sharding),
+                             jax.device_put(obj_id, crop_sharding),
+                             jax.device_put(sym, crop_sharding),
+                             jax.device_put(mean, crop_sharding),
+                             jax.random.fold_in(key, b))
         # NB: block_until_ready does not await on the tunneled axon backend —
         # the np.asarray host fetches below are the synchronization points, so
         # the timed region starts only after the first batch has fully landed.

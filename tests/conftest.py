@@ -17,6 +17,10 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the full-train-step CPU compiles take 1-2 min each;
+# caching them makes suite re-runs dramatically cheaper
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
