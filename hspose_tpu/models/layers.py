@@ -91,8 +91,15 @@ class HSLayerSurface(nn.Module):
             jnp.linalg.norm(directions, axis=0, keepdims=True), 1e-12)
         dir_norm = dir_norm.astype(self.dtype)
 
-        # fused Pallas kernel (custom VJP: used in training too) on TPU
-        if self.support_scan and jax.devices()[0].platform == "tpu":
+        on_tpu = jax.devices()[0].platform == "tpu"
+        if (self.support_scan and on_tpu and not train
+                and self.dtype == jnp.bfloat16):
+            # fast inference: fully-fused kernel (in-kernel gather + rf), no
+            # HBM round-trip of any (B,K,N,·) tensor
+            from hspose_tpu.ops.pallas_hs_fused import hs_surface_fused
+
+            feature = hs_surface_fused(vertices, rf_idx, dir_norm, s, k)
+        elif self.support_scan and on_tpu:
             from hspose_tpu.ops.pallas_hs import hs_surface_reduce
 
             rf_km = neighbor_directions_normalized_kmajor(
@@ -164,8 +171,18 @@ class HSLayer(nn.Module):
             jnp.linalg.norm(directions, axis=0, keepdims=True), 1e-12)
         dir_norm = dir_norm.astype(self.dtype)
 
-        # fused Pallas kernel (custom VJP: used in training too) on TPU
-        if self.support_scan and jax.devices()[0].platform == "tpu":
+        on_tpu = jax.devices()[0].platform == "tpu"
+        if (self.support_scan and on_tpu and not train
+                and self.dtype == jnp.bfloat16):
+            # fast inference: fully-fused kernel (in-kernel gather + rf)
+            from hspose_tpu.ops.pallas_hs_fused import hs_support_fused
+
+            feature_center = (feature_map.astype(self.dtype)
+                              @ weights[:, :co].astype(self.dtype) + bias[:co])
+            activation = hs_support_fused(feature_map.astype(self.dtype),
+                                          vertices, rf_idx, weights[:, co:],
+                                          bias[co:], dir_norm, s, co)
+        elif self.support_scan and on_tpu:
             from hspose_tpu.ops.pallas_hs import hs_support_reduce
 
             feature_center = (feature_map.astype(self.dtype)
