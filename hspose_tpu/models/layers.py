@@ -46,12 +46,18 @@ def uniform_init(stdv: float):
     return init
 
 
-def orl_global(feature: jnp.ndarray, orl_idx: jnp.ndarray) -> jnp.ndarray:
+def orl_global(feature: jnp.ndarray, orl_idx: jnp.ndarray,
+               fast: bool = False) -> jnp.ndarray:
     """Outlier-robust global feature (gcn3d.get_ORL_global :211-218).
 
     KNN-max over each point's spatial neighbourhood, then a global mean broadcast
     back to every point.  ``orl_idx`` are vertex-KNN indices (B, N, K).
-    """
+    ``fast`` routes to the fused Pallas kernel on TPU (bf16 inference): the XLA
+    path materializes (B, K, N, C) in HBM before the max."""
+    if fast and jax.devices()[0].platform == "tpu":
+        from hspose_tpu.ops.pallas_hs_fused import orl_global_fused
+
+        return orl_global_fused(feature, orl_idx).astype(feature.dtype)
     neigh = gather_neighbors(feature, orl_idx)  # (B, N, K, C)
     fmax = jnp.max(neigh, axis=2)  # (B, N, C)
     return jnp.mean(fmax, axis=1, keepdims=True)  # (B, 1, C); broadcasting replaces repeat
@@ -127,7 +133,8 @@ class HSLayerSurface(nn.Module):
             feature = jnp.mean(jnp.max(theta, axis=2), axis=2)
 
         # ORL (gcn3d.py:109-113)
-        f_global = orl_global(feature.astype(self.dtype), orl_idx)
+        f_global = orl_global(feature.astype(self.dtype), orl_idx,
+                              fast=not train and self.dtype == jnp.bfloat16)
         fused = jnp.concatenate(
             [feature.astype(self.dtype),
              jnp.broadcast_to(f_global, feature.shape[:2] + f_global.shape[-1:])],
@@ -238,7 +245,8 @@ class HSLayer(nn.Module):
         feature = feature_center + activation
 
         # ORL (gcn3d.py:183-187)
-        f_global = orl_global(feature.astype(self.dtype), orl_idx)
+        f_global = orl_global(feature.astype(self.dtype), orl_idx,
+                              fast=not train and self.dtype == jnp.bfloat16)
         fused = jnp.concatenate(
             [feature.astype(self.dtype),
              jnp.broadcast_to(f_global, feature.shape[:2] + f_global.shape[-1:])],

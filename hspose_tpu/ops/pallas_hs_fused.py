@@ -34,15 +34,17 @@ from jax.experimental import pallas as pl
 _NEG_BIG = -3.4e38
 
 
-def _fused_support_kernel(fc_ref, fct_ref, idx_ref, w_ref, b_ref, d_ref, o_ref,
-                          *, s: int, co: int, k: int, cin: int):
-    """fc (1, n_pad, cin+3) resident source block; fct (1, tq, cin+3) the tile's
-    own rows; idx (1, tq, k_pad) int32; w (cin, S·Co); b (1, S·Co); d (3, S·Co)
-    -> out (1, tq, co)."""
-    featcat = fc_ref[0]  # (n_pad, cin3)
-    n_pad = featcat.shape[0]
-    tq = fct_ref.shape[1]
-    cv = fct_ref[0, :, cin:cin + 3].astype(jnp.float32)  # (tq, 3) centre xyz
+def _fused_support_kernel(f_ref, v_ref, vt_ref, idx_ref, w_ref, b_ref, d_ref,
+                          o_ref, *, s: int, co: int, k: int):
+    """f (1, n_pad, cin) + v (1, n_pad, 3) resident source blocks (kept separate:
+    a concatenated cin+3 block lane-pads 259->512 and doubles the gather matmul
+    at cin=256); vt (1, tq, 3) the tile's own xyz; idx (1, tq, k_pad) int32;
+    w (cin, S·Co); b (1, S·Co); d (3, S·Co) -> out (1, tq, co)."""
+    feat = f_ref[0]  # (n_pad, cin)
+    verts = v_ref[0]  # (n_pad, 3)
+    n_pad = feat.shape[0]
+    tq = vt_ref.shape[1]
+    cv = vt_ref[0].astype(jnp.float32)  # (tq, 3) centre xyz
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (tq, n_pad), 1)
     dflt = jax.lax.Precision.DEFAULT
 
@@ -50,12 +52,14 @@ def _fused_support_kernel(fc_ref, fct_ref, idx_ref, w_ref, b_ref, d_ref, o_ref,
     for j in range(k):  # static: only the real neighbour slots
         idx_j = idx_ref[0, :, j:j + 1]  # (tq, 1)
         onehot = (iota_n == idx_j).astype(jnp.bfloat16)
-        gk = jnp.dot(onehot, featcat, preferred_element_type=jnp.float32,
+        gk = jnp.dot(onehot, feat, preferred_element_type=jnp.float32,
                      precision=dflt)  # exact gather: one-hot x bf16, f32 accum
-        rf = gk[:, cin:cin + 3] - cv
+        gxyz = jnp.dot(onehot, verts, preferred_element_type=jnp.float32,
+                       precision=dflt)
+        rf = gxyz - cv
         norm = jnp.sqrt(jnp.sum(rf * rf, axis=1, keepdims=True))
         rfn = rf / jnp.maximum(norm, 1e-12)
-        proj = jnp.dot(gk[:, :cin].astype(jnp.bfloat16), w_ref[...],
+        proj = jnp.dot(gk.astype(jnp.bfloat16), w_ref[...],
                        preferred_element_type=jnp.float32, precision=dflt)
         proj = proj + b_ref[0:1]
         theta = jax.nn.relu(jnp.dot(rfn.astype(jnp.bfloat16), d_ref[...],
@@ -100,6 +104,66 @@ def _fused_surface_kernel(v_ref, vt_ref, idx_ref, d_ref, o_ref, *, s: int,
     o_ref[0] = acc / s
 
 
+def _orl_kernel(f_ref, idx_ref, o_ref, *, k: int, n_valid: int, tq: int):
+    """Fused outlier-robust-global reduction: per point, max of its KNN rows,
+    summed over the tile into a per-batch (1, C) accumulator (mean finished by
+    the caller).  f (1, n_pad, C) resident; idx (1, tq, k_pad); o (1, 8, C)
+    accumulated across the tile grid axis."""
+    feat = f_ref[0]
+    n_pad = feat.shape[0]
+    c = feat.shape[1]
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (tq, n_pad), 1)
+    dflt = jax.lax.Precision.DEFAULT
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    macc = jnp.full((tq, c), _NEG_BIG, jnp.float32)
+    for j in range(k):
+        idx_j = idx_ref[0, :, j:j + 1]
+        onehot = (iota_n == idx_j).astype(jnp.bfloat16)
+        gk = jnp.dot(onehot, feat, preferred_element_type=jnp.float32,
+                     precision=dflt)
+        macc = jnp.maximum(macc, gk)
+
+    # padded query rows gathered row 0's features — zero them before the sum
+    row = pl.program_id(1) * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, 1), 0)
+    macc = jnp.where(row < n_valid, macc, 0.0)
+    o_ref[0, 0:1, :] += jnp.sum(macc, axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("tq", "interpret"))
+def orl_global_fused(feature: jnp.ndarray, idx: jnp.ndarray, tq: int = 128,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Fast-mode fused ORL global branch (gcn3d.get_ORL_global :211-218):
+    feature (B, N, C) bf16, idx (B, N, K) -> (B, 1, C) = mean_n max_k feat[knn].
+
+    The XLA path materializes the (B, K, N, C) gathered tensor in HBM before
+    the max; here the per-batch feature block stays in VMEM and only the (1, C)
+    accumulator is written."""
+    B, N, C = feature.shape
+    K = idx.shape[-1]
+    n_pad = ((N + tq - 1) // tq) * tq
+    k_pad = ((K + 127) // 128) * 128
+
+    feat = _pad_axis(feature.astype(jnp.bfloat16), n_pad, 1)
+    idxp = _pad_axis(_pad_axis(idx.astype(jnp.int32), n_pad, 1), k_pad, 2)
+
+    out = pl.pallas_call(
+        functools.partial(_orl_kernel, k=K, n_valid=N, tq=tq),
+        out_shape=jax.ShapeDtypeStruct((B, 8, C), jnp.float32),
+        grid=(B, n_pad // tq),
+        in_specs=[
+            pl.BlockSpec((1, n_pad, C), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, tq, k_pad), lambda i, j: (i, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 8, C), lambda i, j: (i, 0, 0)),
+        interpret=interpret,
+    )(feat, idxp)
+    return out[:, 0:1, :] / N
+
+
 def _pad_axis(x, n, axis):
     pad = n - x.shape[axis]
     if pad <= 0:
@@ -128,22 +192,21 @@ def hs_support_fused(feature_map: jnp.ndarray, vertices: jnp.ndarray,
     n_pad = ((N + tq - 1) // tq) * tq
     k_pad = ((K + 127) // 128) * 128  # idx lane dim
 
-    featcat = jnp.concatenate(
-        [feature_map.astype(jnp.bfloat16),
-         vertices.astype(jnp.bfloat16)], axis=-1)
-    featcat = _pad_axis(featcat, n_pad, 1)
+    feat = _pad_axis(feature_map.astype(jnp.bfloat16), n_pad, 1)
+    verts = _pad_axis(vertices.astype(jnp.bfloat16), n_pad, 1)
     # pad query rows with self-index 0 (sliced off), idx lanes with 0 (unused:
     # the kernel loop runs only over the K real slots)
     idxp = _pad_axis(_pad_axis(idx.astype(jnp.int32), n_pad, 1), k_pad, 2)
 
     out = pl.pallas_call(
         functools.partial(_fused_support_kernel, s=support_num, co=out_channel,
-                          k=K, cin=cin),
+                          k=K),
         out_shape=jax.ShapeDtypeStruct((B, n_pad, out_channel), jnp.float32),
         grid=(B, n_pad // tq),
         in_specs=[
-            pl.BlockSpec((1, n_pad, cin + 3), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, tq, cin + 3), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, n_pad, cin), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, n_pad, 3), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, tq, 3), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, tq, k_pad), lambda i, j: (i, j, 0)),
             pl.BlockSpec((cin, s_co), lambda i, j: (0, 0)),
             pl.BlockSpec((1, s_co), lambda i, j: (0, 0)),
@@ -151,7 +214,7 @@ def hs_support_fused(feature_map: jnp.ndarray, vertices: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((1, tq, out_channel), lambda i, j: (i, j, 0)),
         interpret=interpret,
-    )(featcat, featcat, idxp, weights, bias.reshape(1, -1), dirs)
+    )(feat, verts, verts, idxp, weights, bias.reshape(1, -1), dirs)
     return out[:, :N]
 
 

@@ -62,6 +62,22 @@ def test_surface_fused_matches_xla(rng):
     np.testing.assert_allclose(got, want, rtol=0, atol=3e-2 * np.abs(want).max())
 
 
+def test_orl_fused_matches_xla(rng):
+    from hspose_tpu.ops.pallas_hs_fused import orl_global_fused
+
+    B, N, K, C = 2, 200, 10, 64
+    feat = rng.normal(size=(B, N, C)).astype(np.float32)
+    idx = rng.integers(0, N, (B, N, K)).astype(np.int32)
+    feat_bf = jnp.asarray(feat).astype(jnp.bfloat16).astype(jnp.float32)
+    want = np.asarray(jnp.mean(jnp.max(
+        gather_neighbors(feat_bf, jnp.asarray(idx)), axis=2), axis=1,
+        keepdims=True))
+    got = np.asarray(orl_global_fused(jnp.asarray(feat), jnp.asarray(idx),
+                                      tq=64, interpret=True))
+    assert got.shape == (B, 1, C)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5 * np.abs(want).max())
+
+
 def test_fused_ragged_n(rng):
     """N not a multiple of the tile: padded rows must not leak into outputs."""
     B, N, K, s, co = 1, 150, 6, 2, 32
