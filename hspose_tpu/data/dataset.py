@@ -9,11 +9,16 @@ crop/mask/label processing, and the 12-tensor sample dict.  Differences by desig
 * the depth→point-cloud back-projection + 1028-point sampling can run **on device**
   (``sample_mode='device'`` ships the 256² crops; ``'host'`` reproduces the
   reference's host-side path bit-for-bit in numpy);
-* batching is a thread-prefetched iterator rather than torch DataLoader workers.
+* batching runs in worker **processes** (like the reference's 20 DataLoader
+  workers, engine/train.py:65-69) via :func:`make_worker_pool` — measured:
+  Python threads are GIL-bound *below* single-thread throughput on this
+  pipeline — with a thread/sync fallback.  Batches derive from (seed, step)
+  only, so every mode yields the identical stream.
 """
 
 from __future__ import annotations
 
+import multiprocessing
 import os
 import pickle
 import queue
@@ -184,10 +189,11 @@ class PoseTrainDataset:
         else:
             mug_handle = 1
 
-        rgb = cv2.imread(img_path + "_color.png")
-        if rgb is None:
+        # the color PNG contributes only its existence + shape (the reference
+        # decodes it just for im_H/im_W, load_data.py:219-227) — skip the
+        # ~3 ms/sample decode and take the shape from the mask
+        if not os.path.exists(img_path + "_color.png"):
             return retry()
-        im_h, im_w = rgb.shape[:2]
         try:
             depth = iu.load_depth(img_path + "_depth.png")
         except Exception:
@@ -196,6 +202,7 @@ class PoseTrainDataset:
         if mask is None:
             return retry()
         mask = mask[:, :, 2]
+        im_h, im_w = mask.shape[:2]
 
         coord_2d = iu.get_2d_coord(im_w, im_h)  # (2, H, W)
 
@@ -312,22 +319,90 @@ def _collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
 
 
+def _make_batch_from(dataset: PoseTrainDataset, seed: int, step: int,
+                     batch_size: int) -> Dict[str, np.ndarray]:
+    """The (seed, step) -> batch function every loader mode shares."""
+    rng = np.random.default_rng(np.random.SeedSequence([seed, step]))
+    samples = []
+    while len(samples) < batch_size:
+        s = dataset.get_sample(dataset.sample_index(rng), rng)
+        if s is not None:
+            samples.append(s)
+    return _collate(samples)
+
+
+_WORKER_DS: Optional[PoseTrainDataset] = None
+
+
+def _worker_init(cfg: DataConfig, mode: str, sample_mode: str) -> None:
+    global _WORKER_DS
+    # workers never touch an accelerator; pin jax (imported transitively via the
+    # package __init__) to CPU before any backend could initialize
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    _WORKER_DS = PoseTrainDataset(cfg, mode, sample_mode)
+
+
+def _worker_make_batch(args):
+    seed, step, batch_size = args
+    return step, _make_batch_from(_WORKER_DS, seed, step, batch_size)
+
+
+def make_worker_pool(cfg: DataConfig, mode: str = "train",
+                     sample_mode: str = "host",
+                     num_workers: Optional[int] = None):
+    """Spawn the persistent data-loader worker pool (the reference's
+    ``num_workers=20`` DataLoader processes, engine/train.py:65-69).
+
+    Each worker builds its own ``PoseTrainDataset`` once and serves batches for
+    the life of the pool (reuse it across epochs — spawn + dataset construction
+    is paid once).  Close with ``pool.terminate()``.
+    """
+    n = num_workers if num_workers is not None else cfg.num_workers
+    ctx = multiprocessing.get_context("spawn")
+    return ctx.Pool(max(n, 1), initializer=_worker_init,
+                    initargs=(cfg, mode, sample_mode))
+
+
+def pool_batches(pool, batch_size: int, steps: int, seed: int,
+                 prefetch: int = 4) -> Iterator[Dict[str, np.ndarray]]:
+    """In-order batch stream from a :func:`make_worker_pool` pool, with a bounded
+    window of in-flight batches.  Identical stream to the sync/thread modes."""
+    window = prefetch + getattr(pool, "_processes", 4)
+    pending: Dict[int, object] = {}
+    submitted = 0
+    for i in range(steps):
+        while submitted < steps and (submitted - i) < window:
+            pending[submitted] = pool.apply_async(
+                _worker_make_batch, ((seed, submitted, batch_size),))
+            submitted += 1
+        step, batch = pending.pop(i).get()
+        assert step == i
+        yield batch
+
+
 def train_batches(dataset: PoseTrainDataset, batch_size: int, steps: int,
                   seed: int, num_workers: int = 4,
-                  prefetch: int = 4) -> Iterator[Dict[str, np.ndarray]]:
-    """Thread-prefetched batch iterator with replacement sampling.
+                  prefetch: int = 4, pool=None) -> Iterator[Dict[str, np.ndarray]]:
+    """Batch iterator with replacement sampling.
 
-    Yields ``steps`` batches; per-batch RNG derives from (seed, batch index) so the
-    stream is reproducible independent of worker scheduling.
+    Yields ``steps`` batches; per-batch RNG derives from (seed, batch index) so
+    the stream is reproducible independent of loader mode and scheduling.
+    Pass a :func:`make_worker_pool` ``pool`` for process workers (fastest, the
+    train loop's default); ``num_workers>0`` uses prefetch threads;
+    ``num_workers=0`` is fully synchronous.
     """
+    if pool is not None:
+        yield from pool_batches(pool, batch_size, steps, seed, prefetch)
+        return
+
     def make_batch(step: int) -> Dict[str, np.ndarray]:
-        rng = np.random.default_rng(np.random.SeedSequence([seed, step]))
-        samples = []
-        while len(samples) < batch_size:
-            s = dataset.get_sample(dataset.sample_index(rng), rng)
-            if s is not None:
-                samples.append(s)
-        return _collate(samples)
+        return _make_batch_from(dataset, seed, step, batch_size)
 
     if num_workers <= 0:
         for i in range(steps):

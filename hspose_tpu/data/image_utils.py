@@ -10,6 +10,7 @@ happen on host; back-projection and point sampling are jitted on device
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import cv2
@@ -56,11 +57,17 @@ def get_bbox(bbox, img_h: int = 480, img_w: int = 640) -> Tuple[int, int, int, i
     return rmin, rmax, cmin, cmax
 
 
-def get_2d_coord(width: int, height: int) -> np.ndarray:
-    """(2, H, W) pixel coordinate map (tools/dataset_utils.py:4-22)."""
+@functools.lru_cache(maxsize=8)
+def _get_2d_coord_cached(width: int, height: int) -> np.ndarray:
     x = np.linspace(0, width - 1, width, dtype=np.float32)
     y = np.linspace(0, height - 1, height, dtype=np.float32)
     return np.asarray(np.meshgrid(x, y))
+
+
+def get_2d_coord(width: int, height: int) -> np.ndarray:
+    """(2, H, W) pixel coordinate map (tools/dataset_utils.py:4-22); static per
+    image size, so cached (it was ~5% of the per-sample host cost)."""
+    return _get_2d_coord_cached(int(width), int(height))
 
 
 def aug_bbox_dzi(rng: np.random.Generator, bbox_xyxy: np.ndarray, im_h: int, im_w: int,

@@ -65,11 +65,20 @@ def train(cfg: HSPoseConfig):
     # committed to a single device, which conflicts with mesh-sharded batches)
     state = replicate_state(mesh, jax.device_get(state))
 
-    from hspose_tpu.data.dataset import PoseTrainDataset, train_batches
+    from hspose_tpu.data.dataset import (
+        PoseTrainDataset,
+        make_worker_pool,
+        train_batches,
+    )
 
     dataset = PoseTrainDataset(cfg.data, mode="train")
     logger.info("%d images found, %d models loaded", len(dataset),
                 len(dataset.models))
+    # loader worker processes (the reference's DataLoader workers,
+    # engine/train.py:65-69) — one persistent pool for the whole run; threads
+    # are GIL-bound below single-thread throughput on this pipeline
+    pool = (make_worker_pool(cfg.data, "train", dataset.sample_mode)
+            if cfg.data.num_workers > 0 else None)
 
     writer = MetricWriter(cfg.train.model_save)
     data_key = jax.random.key(seed)
@@ -78,7 +87,7 @@ def train(cfg: HSPoseConfig):
         t0 = time.time()
         batches = train_batches(dataset, cfg.train.batch_size, cfg.train.train_steps,
                                 seed=seed + epoch * 997, num_workers=cfg.data.num_workers,
-                                prefetch=cfg.data.prefetch)
+                                prefetch=cfg.data.prefetch, pool=pool)
         profile_dir = os.environ.get("HSPOSE_PROFILE_DIR")
         for i, batch in enumerate(batches):
             # on-demand device tracing (SURVEY §5.1): steps 10-14 of each epoch
@@ -110,6 +119,8 @@ def train(cfg: HSPoseConfig):
                                    epoch, seed)
             logger.info("checkpoint saved: %s", path)
     writer.close()
+    if pool is not None:
+        pool.terminate()
     return state
 
 

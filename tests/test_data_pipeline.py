@@ -171,6 +171,20 @@ class TestTrainDataset:
         for a, b in zip(sync, threaded):
             np.testing.assert_array_equal(a["pcl_in"], b["pcl_in"])
 
+    def test_process_pool_matches_sync(self, data_cfg):
+        from hspose_tpu.data.dataset import make_worker_pool
+
+        ds = PoseTrainDataset(data_cfg)
+        sync = list(train_batches(ds, 2, 3, seed=3, num_workers=0))
+        pool = make_worker_pool(data_cfg, num_workers=2)
+        try:
+            pooled = list(train_batches(ds, 2, 3, seed=3, pool=pool))
+        finally:
+            pool.terminate()
+        for a, b in zip(sync, pooled):
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
     def test_device_mode_returns_crops(self, data_cfg, rng):
         cfg = dataclasses.replace(data_cfg)
         ds = PoseTrainDataset(cfg, sample_mode="device")
