@@ -174,6 +174,11 @@ class EvalConfig:
     eval_batch: int = 64
     # maximum detections padded per image in the batched harness
     max_instances_per_image: int = 16
+    # 'host': back-project + sample per crop on the host (reference semantics,
+    # load_data_eval.py:253-254); 'device': ship the 256² crops and run the
+    # fused jitted backprojection+sampling on-chip (frees host cores for PNG
+    # decode + warps)
+    sample_mode: str = "host"
 
 
 @dataclass(frozen=True)

@@ -30,8 +30,11 @@ from hspose_tpu.geometry import symmetry as sym_tab
 
 
 class PoseEvalDataset:
-    def __init__(self, cfg: DataConfig, mode: str = "test"):
+    def __init__(self, cfg: DataConfig, mode: str = "test",
+                 sample_mode: str = "host"):
+        assert sample_mode in ("host", "device")
         self.cfg = cfg
+        self.sample_mode = sample_mode
         self.data_dir = cfg.dataset_dir
         self.detection_dir = cfg.detection_dir
         lists = _read_img_lists(self.data_dir, cfg.dataset, mode)
@@ -125,6 +128,7 @@ class PoseEvalDataset:
 
         sym_infos, mean_shapes, obj_ids, obj_ids_0, pcls, valid_idx = \
             [], [], [], [], [], []
+        roi_depths, roi_masks, roi_coords, cam_ks = [], [], [], []
         for j in range(num_instances):
             cat_id = int(detection_dict["pred_class_ids"][j])
             if self.per_obj_id is not None:
@@ -148,15 +152,20 @@ class PoseEvalDataset:
 
             if np.sum(roi_depth > 0) <= 1 or np.sum((roi_mask > 0) & (roi_depth > 0)) <= 1:
                 return None
-            pcl = host_depth_to_pcl(roi_depth, cam_k, roi_coord, roi_mask) / 1000.0
-            pcl = host_sample_points(rng, pcl, self.cfg.num_points)
+            if self.sample_mode == "device":
+                roi_depths.append(roi_depth.astype(np.float32))
+                roi_masks.append(roi_mask.astype(np.float32))
+                roi_coords.append(roi_coord.astype(np.float32))
+                cam_ks.append(cam_k)
+            else:
+                pcl = host_depth_to_pcl(roi_depth, cam_k, roi_coord, roi_mask) / 1000.0
+                pcls.append(host_sample_points(rng, pcl, self.cfg.num_points))
 
             cat_name = self.id2cat_name[str(cat_id)]
             sym_infos.append(sym_tab.sym_info(cat_name))
             mean_shapes.append(sym_tab.mean_shape_mm(cat_name) / 1000.0)
             obj_ids.append(cat_id)
             obj_ids_0.append(cat_id - 1)
-            pcls.append(pcl)
 
         if self.per_obj_id is not None:
             for key in ["pred_class_ids", "pred_bboxes", "pred_scores"]:
@@ -169,8 +178,19 @@ class PoseEvalDataset:
             "cat_id_0base": np.array(obj_ids_0, np.int32),
             "sym_info": np.array(sym_infos, np.float32).reshape(-1, 4),
             "mean_shape": np.array(mean_shapes, np.float32).reshape(-1, 3),
-            "pcl_in": np.array(pcls, np.float32).reshape(-1, self.cfg.num_points, 3),
         }
+        s = self.cfg.img_size
+        if self.sample_mode == "device":
+            data_dict["roi_depth"] = np.array(roi_depths, np.float32).reshape(
+                -1, s, s)
+            data_dict["roi_mask"] = np.array(roi_masks, np.float32).reshape(
+                -1, s, s)
+            data_dict["roi_coord"] = np.array(roi_coords, np.float32).reshape(
+                -1, 2, s, s)
+            data_dict["cam_k"] = np.array(cam_ks, np.float32).reshape(-1, 3, 3)
+        else:
+            data_dict["pcl_in"] = np.array(pcls, np.float32).reshape(
+                -1, self.cfg.num_points, 3)
         return data_dict, detection_dict, gts
 
     def iter_images(self, rng: np.random.Generator) -> Iterator:

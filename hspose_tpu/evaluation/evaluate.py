@@ -58,28 +58,48 @@ def batched_pose_inference(cfg: HSPoseConfig, model, params, batch_stats,
     params, batch_stats = replicate_state(mesh, (params, batch_stats))
     crop_sharding = batch_sharding(mesh)
 
-    # flatten crops
-    clouds, ids, syms, means, owners = [], [], [], [], []
+    # flatten crops: point clouds (host mode) or 256² ROI crops (device mode —
+    # the fused jitted backprojection+sampling then runs on-chip ahead of the
+    # model, sharing data/preprocess.py with the train path)
+    device_mode = "roi_depth" in image_records[0][0] if image_records else False
+    crop_keys = (["roi_depth", "roi_mask", "roi_coord", "cam_k"]
+                 if device_mode else ["pcl_in"])
+    crops: Dict[str, List] = {k: [] for k in crop_keys}
+    ids, syms, means, owners = [], [], [], []
     for rec_idx, rec in enumerate(image_records):
         data = rec[0]
         n = len(data["cat_id_0base"])
         for j in range(n):
-            clouds.append(data["pcl_in"][j])
+            for k in crop_keys:
+                crops[k].append(data[k][j])
             ids.append(data["cat_id_0base"][j])
             syms.append(data["sym_info"][j])
             means.append(data["mean_shape"][j])
             owners.append((rec_idx, j))
 
-    total = len(clouds)
+    total = len(ids)
     pred_RTs = np.zeros((total, 4, 4))
     pred_scales = np.zeros((total, 3))
 
-    @jax.jit
-    def forward(pc, obj_id, sym, mean_shape, key):
-        out = eval_forward(model, params, batch_stats, key, pc, obj_id)
-        RT = generate_RT(out.p_green_R, out.p_red_R, out.f_green_R, out.f_red_R,
-                         out.pred_T, sym)
-        return RT, out.pred_s + mean_shape
+    if device_mode:
+        from hspose_tpu.data.preprocess import roi_to_pointcloud
+
+        @jax.jit
+        def forward(crop, obj_id, sym, mean_shape, key):
+            pc, _ = roi_to_pointcloud(key, crop["roi_depth"], crop["roi_mask"],
+                                      crop["roi_coord"], crop["cam_k"], n_pts)
+            out = eval_forward(model, params, batch_stats, key, pc, obj_id)
+            RT = generate_RT(out.p_green_R, out.p_red_R, out.f_green_R,
+                             out.f_red_R, out.pred_T, sym)
+            return RT, out.pred_s + mean_shape
+    else:
+        @jax.jit
+        def forward(crop, obj_id, sym, mean_shape, key):
+            out = eval_forward(model, params, batch_stats, key, crop["pcl_in"],
+                               obj_id)
+            RT = generate_RT(out.p_green_R, out.p_red_R, out.f_green_R,
+                             out.f_red_R, out.pred_T, sym)
+            return RT, out.pred_s + mean_shape
 
     key = jax.random.key(seed)
     t_start = None
@@ -87,15 +107,16 @@ def batched_pose_inference(cfg: HSPoseConfig, model, params, batch_stats,
     for b in range(n_batches):
         lo, hi = b * B, min((b + 1) * B, total)
         pad = B - (hi - lo)
-        pc = np.stack(clouds[lo:hi] + [clouds[lo]] * pad)
+        crop = {k: np.stack(v[lo:hi] + [v[lo]] * pad) for k, v in crops.items()}
         obj_id = np.array(list(ids[lo:hi]) + [ids[lo]] * pad, np.int32)
         sym = np.stack(syms[lo:hi] + [syms[lo]] * pad)
         mean = np.stack(means[lo:hi] + [means[lo]] * pad)
-        RT, scales = forward(jax.device_put(pc, crop_sharding),
-                             jax.device_put(obj_id, crop_sharding),
-                             jax.device_put(sym, crop_sharding),
-                             jax.device_put(mean, crop_sharding),
-                             jax.random.fold_in(key, b))
+        RT, scales = forward(
+            {k: jax.device_put(v, crop_sharding) for k, v in crop.items()},
+            jax.device_put(obj_id, crop_sharding),
+            jax.device_put(sym, crop_sharding),
+            jax.device_put(mean, crop_sharding),
+            jax.random.fold_in(key, b))
         # NB: block_until_ready does not await on the tunneled axon backend —
         # the np.asarray host fetches below are the synchronization points, so
         # the timed region starts only after the first batch has fully landed.
@@ -128,7 +149,7 @@ def load_eval_images(cfg: HSPoseConfig, seed: int, num_workers: int = 8,
                      limit: Optional[int] = None):
     from hspose_tpu.evaluation.eval_dataset import PoseEvalDataset
 
-    ds = PoseEvalDataset(cfg.data, mode="test")
+    ds = PoseEvalDataset(cfg.data, mode="test", sample_mode=cfg.eval.sample_mode)
     n = len(ds) if limit is None else min(limit, len(ds))
 
     def load(i):

@@ -206,6 +206,65 @@ class TestEvalDataset:
         assert "pred_masks" not in det
         assert det["pred_scores"].shape == (2,)
 
+    def test_eval_image_device_mode(self, data_cfg, rng):
+        """Device mode ships 256² crops; the fused on-chip preprocessing must
+        reproduce the host back-projection (same ROI inputs, keyed sampling)."""
+        import jax
+        import jax.numpy as jnp
+
+        from hspose_tpu.data.preprocess import roi_to_pointcloud
+        from hspose_tpu.evaluation.eval_dataset import PoseEvalDataset
+
+        ds = PoseEvalDataset(data_cfg, sample_mode="device")
+        data, det, gts = ds.get_image(0, rng)
+        assert "pcl_in" not in data
+        assert data["roi_depth"].shape == (2, 256, 256)
+        assert data["roi_coord"].shape == (2, 2, 256, 256)
+        assert data["cam_k"].shape == (2, 3, 3)
+
+        pcl, n_valid = roi_to_pointcloud(
+            jax.random.key(0), jnp.asarray(data["roi_depth"]),
+            jnp.asarray(data["roi_mask"]), jnp.asarray(data["roi_coord"]),
+            jnp.asarray(data["cam_k"]), 1028)
+        assert pcl.shape == (2, 1028, 3)
+        # every sampled point must be a member of the host-mode full cloud
+        from hspose_tpu.data.dataset import host_depth_to_pcl
+        for i in range(2):
+            full = host_depth_to_pcl(data["roi_depth"][i], data["cam_k"][i],
+                                     data["roi_coord"][i],
+                                     data["roi_mask"][i]) / 1000.0
+            from scipy.spatial import cKDTree
+            d, _ = cKDTree(full).query(np.asarray(pcl[i]))
+            assert d.max() < 1e-6
+
+    def test_eval_inference_device_mode(self, data_cfg, rng):
+        """batched_pose_inference over device-mode records (preprocessing
+        fused into the jitted forward)."""
+        import dataclasses as dc
+
+        from hspose_tpu.config import default_config
+        from hspose_tpu.evaluation.eval_dataset import PoseEvalDataset
+        from hspose_tpu.evaluation.evaluate import batched_pose_inference
+        from hspose_tpu.models.hspose import build_model
+        import jax
+
+        cfg = default_config()
+        cfg = cfg.replace(
+            data=dc.replace(data_cfg, num_points=128),
+            eval=dc.replace(cfg.eval, eval_batch=2, sample_mode="device"))
+        ds = PoseEvalDataset(cfg.data, sample_mode="device")
+        records = [ds.get_image(0, rng)]
+        model = build_model(cfg)
+        variables = model.init(
+            {"params": jax.random.key(0), "pool": jax.random.key(1),
+             "dropout": jax.random.key(2)},
+            np.zeros((2, 128, 3), np.float32), np.zeros((2,), np.int32), True)
+        preds, _ = batched_pose_inference(cfg, model, variables["params"],
+                                          variables["batch_stats"], records, 0)
+        assert preds[0]["pred_RTs"].shape == (2, 4, 4)
+        assert np.isfinite(preds[0]["pred_RTs"]).all()
+        assert np.isfinite(preds[0]["pred_scales"]).all()
+
 
 class TestDevicePreprocessParity:
     def test_backprojection_matches_host(self, data_cfg, rng):
