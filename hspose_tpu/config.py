@@ -39,6 +39,12 @@ class DataConfig:
     # point selection (reference config/config.py:43-44)
     num_points: int = 1028
     sample_method: str = "basic"
+    # 'host': back-project + sample per crop in the loader workers (reference
+    # semantics, load_data.py:307-333); 'device': ship the 256² depth/mask/coord
+    # crops and fuse back-projection + fixed-size sampling into the jitted train
+    # step (the north-star "fused preprocessing" — host keeps only PNG decode +
+    # warps).  Shares the kernel with eval.sample_mode=device.
+    sample_mode: str = "host"
 
     # host pipeline
     num_workers: int = 8

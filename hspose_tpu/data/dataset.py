@@ -191,7 +191,10 @@ class PoseTrainDataset:
 
         # the color PNG contributes only its existence + shape (the reference
         # decodes it just for im_H/im_W, load_data.py:219-227) — skip the
-        # ~3 ms/sample decode and take the shape from the mask
+        # ~3 ms/sample decode and take the shape from the mask.  NOCS renders
+        # color/depth/mask co-registered at the same resolution, so the mask
+        # shape IS im_H/im_W; a truncated color PNG that the reference would
+        # retry on is accepted here (the pose pipeline never reads its pixels)
         if not os.path.exists(img_path + "_color.png"):
             return retry()
         try:

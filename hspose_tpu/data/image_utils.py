@@ -61,7 +61,11 @@ def get_bbox(bbox, img_h: int = 480, img_w: int = 640) -> Tuple[int, int, int, i
 def _get_2d_coord_cached(width: int, height: int) -> np.ndarray:
     x = np.linspace(0, width - 1, width, dtype=np.float32)
     y = np.linspace(0, height - 1, height, dtype=np.float32)
-    return np.asarray(np.meshgrid(x, y))
+    arr = np.asarray(np.meshgrid(x, y))
+    # the cached array is shared by every caller in the process: freeze it so an
+    # accidental in-place write raises instead of corrupting the map globally
+    arr.setflags(write=False)
+    return arr
 
 
 def get_2d_coord(width: int, height: int) -> np.ndarray:

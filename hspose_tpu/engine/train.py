@@ -65,13 +65,10 @@ def train(cfg: HSPoseConfig):
     # committed to a single device, which conflicts with mesh-sharded batches)
     state = replicate_state(mesh, jax.device_get(state))
 
-    from hspose_tpu.data.dataset import (
-        PoseTrainDataset,
-        make_worker_pool,
-        train_batches,
-    )
+    from hspose_tpu.data.dataset import PoseTrainDataset, make_worker_pool
 
-    dataset = PoseTrainDataset(cfg.data, mode="train")
+    dataset = PoseTrainDataset(cfg.data, mode="train",
+                               sample_mode=cfg.data.sample_mode)
     logger.info("%d images found, %d models loaded", len(dataset),
                 len(dataset.models))
     # loader worker processes (the reference's DataLoader workers,
@@ -82,6 +79,22 @@ def train(cfg: HSPoseConfig):
 
     writer = MetricWriter(cfg.train.model_save)
     data_key = jax.random.key(seed)
+
+    try:
+        state = _train_loop(cfg, logger, writer, mesh, dataset, pool, state,
+                            train_step, data_key, seed, s_epoch)
+    finally:
+        # terminate the worker pool on error paths too (a debug_nan raise or a
+        # checkpoint failure must not leak spawned processes)
+        writer.close()
+        if pool is not None:
+            pool.terminate()
+    return state
+
+
+def _train_loop(cfg, logger, writer, mesh, dataset, pool, state, train_step,
+                data_key, seed, s_epoch):
+    from hspose_tpu.data.dataset import train_batches
 
     for epoch in range(s_epoch, cfg.train.total_epoch):
         t0 = time.time()
@@ -118,9 +131,6 @@ def train(cfg: HSPoseConfig):
             path = save_checkpoint(cfg.train.model_save, jax.device_get(state),
                                    epoch, seed)
             logger.info("checkpoint saved: %s", path)
-    writer.close()
-    if pool is not None:
-        pool.terminate()
     return state
 
 

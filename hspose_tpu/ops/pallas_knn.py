@@ -184,7 +184,10 @@ def knn_indices_pallas(points: jnp.ndarray, k: int, tq: int = 128,
 
     Up to ``_STREAM_THRESHOLD`` padded points the whole source cloud sits in
     VMEM; beyond that, source blocks of ``ts`` points stream through VMEM with a
-    running top-k merge, so memory stays flat in N.
+    running top-k merge, so memory stays flat in N.  NB the streamed path (and
+    the flat path above 2^11 padded points, where the index no longer fits the
+    packed key) always runs the exact extraction — ``fast=True`` is a no-op
+    there, so large-N callers get exact-mode performance characteristics.
     """
     B, N, D = points.shape
     npad = ((N + 127) // 128) * 128

@@ -88,3 +88,49 @@ def test_evaluate_from_torch_checkpoint(data_cfg, tmp_path):
         eval=dataclasses.replace(cfg.eval, eval_batch=4, eval_seed=2))
     results = evaluate(cfg)
     assert "IoU25" in results
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not available")
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_torch_roundtrip_bit_identical(seed, tmp_path):
+    """torch→JAX→torch round-trip fuzz on randomized weights (VERDICT r2 #7):
+    every mapped key must come back bit-identical, and the reconstructed key set
+    must equal the original's (minus BN num_batches_tracked, which flax does not
+    model) — this guards both directions of the bridge against silent
+    key-mapping drift (incl. the legacy resconv→STE_layer rename)."""
+    import sys
+    sys.path.insert(0, REF)
+    import torch
+    import absl.flags as aflags
+    if not aflags.FLAGS.is_parsed():
+        import config.config  # noqa: F401
+        aflags.FLAGS(["test"])
+    aflags.FLAGS.train = 1  # include the train-only heads in the fuzz
+    from network.fs_net_repo.PoseNet9D import PoseNet9D as TorchPoseNet
+
+    torch.manual_seed(seed)
+    tmodel = TorchPoseNet().train()
+    # randomize BN running stats too (fresh modules have trivial 0/1 stats)
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, torch.nn.BatchNorm1d):
+                m.running_mean.normal_()
+                m.running_var.uniform_(0.5, 2.0)
+    sd = {f"posenet.{k}": v for k, v in tmodel.state_dict().items()}
+    if seed == 2:  # legacy naming variant
+        sd = {k.replace("STE_layer", "resconv"): v for k, v in sd.items()}
+
+    from hspose_tpu.utils.torch_convert import (
+        convert_to_torch_state_dict,
+        convert_torch_state_dict,
+    )
+
+    params, stats = convert_torch_state_dict(sd)
+    back = convert_to_torch_state_dict(params, stats)
+
+    expect = {k.replace("resconv", "STE_layer"): v for k, v in sd.items()
+              if "num_batches_tracked" not in k}
+    assert set(back) == set(expect), (
+        sorted(set(back) ^ set(expect)))
+    for k, v in expect.items():
+        np.testing.assert_array_equal(back[k], v.numpy(), err_msg=k)
