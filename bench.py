@@ -83,25 +83,15 @@ def model_flops_per_crop(n: int = 1028, k: int = 20, s: int = 7,
     return fl
 
 
-def main():
+def measure_inference(cfg, B: int = 256, iters: int = 30) -> float:
+    """Eval-forward throughput (crops/s) at the given config's compute dtype."""
     import jax
-
-    # persistent compile cache: the remote-tunnel TPU compile of the full model is
-    # minutes; cache it across bench invocations
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
-    from hspose_tpu.config import default_config
     from hspose_tpu.geometry.rotations import generate_RT
     from hspose_tpu.models.hspose import build_model, eval_forward
 
-    cfg = default_config()
-    cfg = cfg.replace(model=dataclasses.replace(cfg.model,
-                                                compute_dtype="bfloat16"))
     n = cfg.data.num_points
-    B = 256
-
     model = build_model(cfg)
     rng = np.random.default_rng(0)
     pc_host = rng.normal(scale=0.2, size=(B, n, 3)).astype(np.float32)
@@ -131,14 +121,77 @@ def main():
     RT, s = forward(pc, obj_id, sym, key)
     np.asarray(RT)
 
-    iters = 30
     t0 = time.perf_counter()
     for i in range(iters):
         RT, s = forward(pc, obj_id, sym, jax.random.fold_in(key, i))
     np.asarray(RT)
-    elapsed = time.perf_counter() - t0
+    return B * iters / (time.perf_counter() - t0)
 
-    crops_per_sec = B * iters / elapsed
+
+def measure_train_step(cfg, iters: int = 15) -> float:
+    """Full reference-recipe train step (batch 16, aug + 4 loss families +
+    Ranger), ms/step."""
+    import jax
+    import jax.numpy as jnp
+
+    from hspose_tpu.engine.train_step import build_train_step
+    from hspose_tpu.models.hspose import build_model
+
+    model = build_model(cfg)
+    tx, state, train_step = build_train_step(cfg, model, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    bs, n = cfg.train.batch_size, cfg.data.num_points
+    A = rng.normal(size=(bs, 3, 3))
+    Q, _ = np.linalg.qr(A)
+    Q *= np.sign(np.linalg.det(Q))[:, None, None]
+    batch = {
+        "pcl_in": jnp.asarray(rng.normal(scale=0.2, size=(bs, n, 3)), jnp.float32),
+        "cat_id": jnp.asarray((np.arange(bs) % 6).astype(np.float32)),
+        "rotation": jnp.asarray(Q, jnp.float32),
+        "translation": jnp.asarray(rng.normal(scale=0.1, size=(bs, 3)), jnp.float32),
+        "fsnet_scale": jnp.asarray(rng.normal(scale=0.01, size=(bs, 3)), jnp.float32),
+        "mean_shape": jnp.asarray(np.abs(rng.normal(size=(bs, 3))) * 0.1 + 0.1,
+                                  jnp.float32),
+        "sym_info": jnp.asarray(np.tile([[0, 1, 0, 0]], (bs, 1)), jnp.float32),
+        "aug_bb": jnp.asarray(rng.uniform(0.8, 1.2, (bs, 3)), jnp.float32),
+        "aug_rt_t": jnp.asarray(rng.normal(scale=0.01, size=(bs, 3)), jnp.float32),
+        "aug_rt_R": jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (bs, 1, 1))),
+        "model_point": jnp.asarray(rng.normal(scale=0.1, size=(bs, 1024, 3)),
+                                   jnp.float32),
+        "nocs_scale": jnp.asarray(np.abs(rng.normal(size=(bs,))) + 0.5, jnp.float32),
+    }
+    key = jax.random.key(1)
+    state, m = train_step(state, batch, key)
+    np.asarray(m["total_loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = train_step(state, batch, key)
+    np.asarray(m["total_loss"])
+    return (time.perf_counter() - t0) / iters * 1000
+
+
+def main():
+    import jax
+
+    # persistent compile cache: the remote-tunnel TPU compile of the full model is
+    # minutes; cache it across bench invocations
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from hspose_tpu.config import default_config
+
+    cfg = default_config()
+    cfg_fast = cfg.replace(model=dataclasses.replace(cfg.model,
+                                                     compute_dtype="bfloat16"))
+    n = cfg.data.num_points
+    B = 256
+
+    crops_per_sec = measure_inference(cfg_fast, B=B, iters=30)
+    # the f32-faithful serving path (split-gather + bf16x3 v4 kernels) — the
+    # parity/training-trust configuration
+    exact_crops_per_sec = measure_inference(cfg, B=B, iters=10)
+    train_step_ms = measure_train_step(cfg)
+
     mfu = crops_per_sec * model_flops_per_crop(n) / V5E_BF16_PEAK_FLOPS
     print(json.dumps({
         "metric": "pose_inference_throughput",
@@ -147,6 +200,8 @@ def main():
         "vs_baseline": round(crops_per_sec / ASSUMED_3090_CROPS_PER_SEC, 2),
         "mfu": round(mfu, 4),
         "flops_per_crop": round(model_flops_per_crop(n) / 1e9, 2),
+        "exact_crops_per_sec": round(exact_crops_per_sec, 1),
+        "train_step_ms": round(train_step_ms, 1),
         "baseline_basis": "inferred 200 crops/s on the reference's RTX 3090",
     }))
 

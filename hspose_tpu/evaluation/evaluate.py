@@ -27,12 +27,19 @@ from hspose_tpu.utils.logging import setup_logger
 
 
 def batched_pose_inference(cfg: HSPoseConfig, model, params, batch_stats,
-                           image_records: List, seed: int):
+                           image_records, seed: int):
     """Run the posenet over all detection crops in fixed-size padded batches.
 
-    image_records: list of (data_dict, detection_dict, gts) from PoseEvalDataset.
-    Fills each detection_dict with 'pred_RTs' and 'pred_scales'; returns
+    image_records: iterable of (data_dict, detection_dict, gts) from
+    PoseEvalDataset — a generator streams records with bounded memory (device
+    mode ships 256² crops, ~4 MB/image; loading REAL275 upfront would be ~9 GB
+    of host RAM), a list works too.  Fills each detection_dict with 'pred_RTs'
+    and 'pred_scales' (and the gt_* fields the mAP stage needs); returns
     (pred_results, crops_per_second).
+
+    The device fetch is double-buffered: each batch's ``np.asarray`` fetch
+    happens only after the NEXT batch has been submitted, so the host↔device
+    transfer overlaps the device compute instead of serializing with it.
     """
     import jax
 
@@ -58,28 +65,110 @@ def batched_pose_inference(cfg: HSPoseConfig, model, params, batch_stats,
     params, batch_stats = replicate_state(mesh, (params, batch_stats))
     crop_sharding = batch_sharding(mesh)
 
-    # flatten crops: point clouds (host mode) or 256² ROI crops (device mode —
-    # the fused jitted backprojection+sampling then runs on-chip ahead of the
-    # model, sharing data/preprocess.py with the train path)
-    device_mode = "roi_depth" in image_records[0][0] if image_records else False
+    records = iter(image_records)
+    try:
+        first = next(records)
+    except StopIteration:
+        return [], 0.0
+    # device mode ships 256² ROI crops; the fused jitted backprojection +
+    # sampling then runs on-chip ahead of the model (data/preprocess.py,
+    # shared with the train path)
+    device_mode = "roi_depth" in first[0]
     crop_keys = (["roi_depth", "roi_mask", "roi_coord", "cam_k"]
                  if device_mode else ["pcl_in"])
-    crops: Dict[str, List] = {k: [] for k in crop_keys}
-    ids, syms, means, owners = [], [], [], []
-    for rec_idx, rec in enumerate(image_records):
-        data = rec[0]
+
+    forward_fn = _build_forward(cfg, model, params, batch_stats, device_mode,
+                                n_pts)
+
+    key = jax.random.key(seed)
+    state = {"t_start": None, "timed_from": 0, "fetched": 0}
+    # per-record output holders; records complete in order
+    pred_results: List[Dict] = []
+    buf: Dict[str, List] = {k: [] for k in crop_keys}
+    ids: List = []
+    syms: List = []
+    means: List = []
+    owners: List = []
+    in_flight = None  # (RT_dev, scales_dev, owners_slice, n_valid)
+    batch_no = 0
+
+    def ingest(rec):
+        data, detection_dict, gts = rec
+        rec_idx = len(pred_results)
         n = len(data["cat_id_0base"])
+        for k in ["gt_class_ids", "gt_RTs", "gt_scales", "gt_handle_visibility"]:
+            if k not in detection_dict and k in gts:
+                detection_dict[k] = gts[k]
+        detection_dict["pred_RTs"] = np.zeros((n, 4, 4))
+        detection_dict["pred_scales"] = np.zeros((n, 3))
+        pred_results.append(detection_dict)
         for j in range(n):
             for k in crop_keys:
-                crops[k].append(data[k][j])
+                buf[k].append(data[k][j])
             ids.append(data["cat_id_0base"][j])
             syms.append(data["sym_info"][j])
             means.append(data["mean_shape"][j])
             owners.append((rec_idx, j))
 
-    total = len(ids)
-    pred_RTs = np.zeros((total, 4, 4))
-    pred_scales = np.zeros((total, 3))
+    def land(flight):
+        RT_dev, sc_dev, flight_owners, n_valid = flight
+        # np.asarray is the synchronization point (block_until_ready does not
+        # await on the tunneled axon backend)
+        RT = np.asarray(RT_dev)
+        sc = np.asarray(sc_dev)
+        for i, (rec_idx, j) in enumerate(flight_owners[:n_valid]):
+            pred_results[rec_idx]["pred_RTs"][j] = RT[i]
+            pred_results[rec_idx]["pred_scales"][j] = sc[i]
+        state["fetched"] += n_valid
+        if state["t_start"] is None:
+            # exclude the first (compile) batch from throughput timing
+            state["t_start"] = time.time()
+            state["timed_from"] = state["fetched"]
+
+    def submit(n_valid):
+        nonlocal in_flight, batch_no
+        pad = B - n_valid
+        crop = {k: np.stack(v[:n_valid] + [v[0]] * pad) for k, v in buf.items()}
+        obj_id = np.array(ids[:n_valid] + [ids[0]] * pad, np.int32)
+        sym = np.stack(syms[:n_valid] + [syms[0]] * pad)
+        mean = np.stack(means[:n_valid] + [means[0]] * pad)
+        flight_owners = owners[:n_valid]
+        for k in crop_keys:
+            del buf[k][:n_valid]
+        del ids[:n_valid], syms[:n_valid], means[:n_valid], owners[:n_valid]
+        RT, scales = forward_fn(
+            {k: jax.device_put(v, crop_sharding) for k, v in crop.items()},
+            jax.device_put(obj_id, crop_sharding),
+            jax.device_put(sym, crop_sharding),
+            jax.device_put(mean, crop_sharding),
+            jax.random.fold_in(key, batch_no))
+        batch_no += 1
+        prev, in_flight = in_flight, (RT, scales, flight_owners, n_valid)
+        if prev is not None:
+            land(prev)
+
+    ingest(first)
+    for rec in records:
+        ingest(rec)
+        while len(ids) >= B:
+            submit(B)
+    while ids:
+        submit(min(B, len(ids)))
+    if in_flight is not None:
+        land(in_flight)
+
+    elapsed = (time.time() - state["t_start"]) if state["t_start"] else 0.0
+    timed = state["fetched"] - state["timed_from"]
+    crops_per_sec = timed / elapsed if timed > 0 and elapsed > 0 else 0.0
+    return pred_results, crops_per_sec
+
+
+def _build_forward(cfg, model, params, batch_stats, device_mode: bool,
+                   n_pts: int):
+    import jax
+
+    from hspose_tpu.geometry.rotations import generate_RT
+    from hspose_tpu.models.hspose import eval_forward
 
     if device_mode:
         from hspose_tpu.data.preprocess import roi_to_pointcloud
@@ -101,52 +190,19 @@ def batched_pose_inference(cfg: HSPoseConfig, model, params, batch_stats,
                              out.f_red_R, out.pred_T, sym)
             return RT, out.pred_s + mean_shape
 
-    key = jax.random.key(seed)
-    t_start = None
-    n_batches = (total + B - 1) // B
-    for b in range(n_batches):
-        lo, hi = b * B, min((b + 1) * B, total)
-        pad = B - (hi - lo)
-        crop = {k: np.stack(v[lo:hi] + [v[lo]] * pad) for k, v in crops.items()}
-        obj_id = np.array(list(ids[lo:hi]) + [ids[lo]] * pad, np.int32)
-        sym = np.stack(syms[lo:hi] + [syms[lo]] * pad)
-        mean = np.stack(means[lo:hi] + [means[lo]] * pad)
-        RT, scales = forward(
-            {k: jax.device_put(v, crop_sharding) for k, v in crop.items()},
-            jax.device_put(obj_id, crop_sharding),
-            jax.device_put(sym, crop_sharding),
-            jax.device_put(mean, crop_sharding),
-            jax.random.fold_in(key, b))
-        # NB: block_until_ready does not await on the tunneled axon backend —
-        # the np.asarray host fetches below are the synchronization points, so
-        # the timed region starts only after the first batch has fully landed.
-        pred_RTs[lo:hi] = np.asarray(RT)[:hi - lo]
-        pred_scales[lo:hi] = np.asarray(scales)[:hi - lo]
-        if t_start is None:  # exclude the first (compile) batch from timing
-            t_start = time.time()
-            n_timed_from = hi
-    elapsed = (time.time() - t_start) if t_start else 0.0
-    crops_per_sec = ((total - n_timed_from) / elapsed
-                     if t_start and total > n_timed_from and elapsed > 0 else 0.0)
-
-    # scatter back
-    pred_results = []
-    by_rec: Dict[int, List[int]] = {}
-    for flat_idx, (rec_idx, j) in enumerate(owners):
-        by_rec.setdefault(rec_idx, []).append(flat_idx)
-    for rec_idx, rec in enumerate(image_records):
-        detection_dict, gts = rec[1], rec[2]
-        flat = by_rec.get(rec_idx, [])
-        detection_dict["pred_RTs"] = (pred_RTs[flat] if flat
-                                      else np.zeros((0, 4, 4)))
-        detection_dict["pred_scales"] = (pred_scales[flat] if flat
-                                         else np.zeros((0, 3)))
-        pred_results.append(detection_dict)
-    return pred_results, crops_per_sec
+    return forward
 
 
-def load_eval_images(cfg: HSPoseConfig, seed: int, num_workers: int = 8,
-                     limit: Optional[int] = None):
+def iter_eval_images(cfg: HSPoseConfig, seed: int, num_workers: int = 8,
+                     limit: Optional[int] = None, window: int = 32):
+    """Stream eval image records with a bounded look-ahead window.
+
+    A ThreadPoolExecutor keeps at most ``window`` images in flight, so host
+    memory stays bounded regardless of dataset size (the reference loads one
+    image at a time, evaluate.py:79-119; loading everything upfront in device
+    mode would hold ~9 GB of 256² crops for REAL275)."""
+    from collections import deque
+
     from hspose_tpu.evaluation.eval_dataset import PoseEvalDataset
 
     ds = PoseEvalDataset(cfg.data, mode="test", sample_mode=cfg.eval.sample_mode)
@@ -156,8 +212,21 @@ def load_eval_images(cfg: HSPoseConfig, seed: int, num_workers: int = 8,
         return ds.get_image(i, np.random.default_rng(np.random.SeedSequence([seed, i])))
 
     with ThreadPoolExecutor(max_workers=max(num_workers, 1)) as ex:
-        records = list(ex.map(load, range(n)))
-    return [r for r in records if r is not None]
+        futs = deque()
+        nxt = 0
+        while nxt < n or futs:
+            while nxt < n and len(futs) < window:
+                futs.append(ex.submit(load, nxt))
+                nxt += 1
+            rec = futs.popleft().result()
+            if rec is not None:
+                yield rec
+
+
+def load_eval_images(cfg: HSPoseConfig, seed: int, num_workers: int = 8,
+                     limit: Optional[int] = None):
+    """Materialized list variant of :func:`iter_eval_images` (tests/tools)."""
+    return list(iter_eval_images(cfg, seed, num_workers, limit))
 
 
 def report_lines(iou_aps, pose_aps, degree_thres_list, shift_thres_list,
@@ -208,16 +277,13 @@ def evaluate(cfg: HSPoseConfig) -> Dict[str, float]:
 
         model = build_model(cfg)
         params, batch_stats = load_params(cfg, cfg.train.resume_model)
-        logger.info("loading eval images...")
-        records = load_eval_images(cfg, seed, cfg.data.num_workers)
-        logger.info(f"{len(records)} images loaded; running batched inference")
+        logger.info("streaming eval images through batched inference...")
+        # streamed: images load in a bounded window while the previous crop
+        # batches run on-device; gt fields are merged inside the harness
         pred_results, crops_per_sec = batched_pose_inference(
-            cfg, model, params, batch_stats, records, seed)
-        # merge gt fields the metric needs
-        for (data, det, gts), det_out in zip(records, pred_results):
-            for k in ["gt_class_ids", "gt_RTs", "gt_scales", "gt_handle_visibility"]:
-                if k not in det_out and k in gts:
-                    det_out[k] = gts[k]
+            cfg, model, params, batch_stats,
+            iter_eval_images(cfg, seed, cfg.data.num_workers), seed)
+        logger.info(f"{len(pred_results)} images evaluated")
         with open(pred_path, "wb") as f:
             pickle.dump(pred_results, f)
         logger.info(f"inference throughput: {crops_per_sec:.1f} crops/s")

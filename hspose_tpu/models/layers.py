@@ -25,10 +25,8 @@ from flax import linen as nn
 
 from hspose_tpu.ops.knn import (
     gather_neighbors,
-    gather_neighbors_kmajor,
     knn_indices,
     neighbor_directions_normalized,
-    neighbor_directions_normalized_kmajor,
 )
 
 
@@ -47,17 +45,22 @@ def uniform_init(stdv: float):
 
 
 def orl_global(feature: jnp.ndarray, orl_idx: jnp.ndarray,
-               fast: bool = False) -> jnp.ndarray:
+               fast: bool = False, train: bool = False) -> jnp.ndarray:
     """Outlier-robust global feature (gcn3d.get_ORL_global :211-218).
 
     KNN-max over each point's spatial neighbourhood, then a global mean broadcast
     back to every point.  ``orl_idx`` are vertex-KNN indices (B, N, K).
-    ``fast`` routes to the fused Pallas kernel on TPU (bf16 inference): the XLA
-    path materializes (B, K, N, C) in HBM before the max."""
-    if fast and jax.devices()[0].platform == "tpu":
+    TPU inference runs the fused Pallas kernel (``fast`` selects the bf16
+    single-pass gather; otherwise the f32-faithful split gather) — the XLA path
+    materializes (B, K, N, C) in HBM before the max.  Training keeps the XLA
+    gather: at train batch (16) the tensors are small and the fused kernel's
+    one-hot matmul FLOPs cost more than the HBM round-trip saves (measured,
+    docs/PERFORMANCE.md)."""
+    if train is False and jax.devices()[0].platform == "tpu":
         from hspose_tpu.ops.pallas_hs_fused import orl_global_fused
 
-        return orl_global_fused(feature, orl_idx).astype(feature.dtype)
+        return orl_global_fused(feature, orl_idx,
+                                exact=not fast).astype(feature.dtype)
     neigh = gather_neighbors(feature, orl_idx)  # (B, N, K, C)
     fmax = jnp.max(neigh, axis=2)  # (B, N, C)
     return jnp.mean(fmax, axis=1, keepdims=True)  # (B, 1, C); broadcasting replaces repeat
@@ -98,20 +101,28 @@ class HSLayerSurface(nn.Module):
         dir_norm = dir_norm.astype(self.dtype)
 
         on_tpu = jax.devices()[0].platform == "tpu"
-        if (self.support_scan and on_tpu and not train
-                and self.dtype == jnp.bfloat16):
-            # fast inference: fully-fused kernel (in-kernel gather + rf), no
-            # HBM round-trip of any (B,K,N,·) tensor
+        if self.support_scan and on_tpu and not train:
+            # inference: fully-fused v4 kernel (in-kernel gather + rf), no HBM
+            # round-trip of any (B,K,N,·) tensor; exact (split-gather + bf16x3)
+            # when the compute dtype is f32, one-pass bf16 in fast mode
             from hspose_tpu.ops.pallas_hs_fused import hs_surface_fused
 
-            feature = hs_surface_fused(vertices, rf_idx, dir_norm, s, k)
+            feature = hs_surface_fused(vertices, rf_idx,
+                                       dir_norm.astype(jnp.float32), s, k,
+                                       exact=self.dtype == jnp.float32)
         elif self.support_scan and on_tpu:
+            # training: the v3 custom-VJP kernel on pre-gathered k-major rf.
+            # v4's in-kernel one-hot gathers cost O(N·C) MXU FLOPs per gathered
+            # element — a bandwidth win at serve batch 256 but a 2-4x FLOPs
+            # regression at train batch 16 (measured, docs/PERFORMANCE.md)
+            from hspose_tpu.ops.knn import neighbor_directions_normalized_kmajor
             from hspose_tpu.ops.pallas_hs import hs_surface_reduce
 
             rf_km = neighbor_directions_normalized_kmajor(
                 vertices.astype(self.dtype), rf_idx)  # (B, K, N, 3)
             feature = hs_surface_reduce(rf_km, dir_norm, s, k, kmajor=True,
-                                        exact=self.dtype == jnp.float32)
+                                        exact=self.dtype == jnp.float32,
+                                        bwd_exact=False)
         elif self.support_scan:
             rf_norm = neighbor_directions_normalized(vertices, rf_idx)  # (B, N, K, 3)
             dirs_s = dir_norm.reshape(3, s, k).transpose(1, 0, 2)  # (S, 3, C)
@@ -134,7 +145,7 @@ class HSLayerSurface(nn.Module):
 
         # ORL (gcn3d.py:109-113)
         f_global = orl_global(feature.astype(self.dtype), orl_idx,
-                              fast=not train and self.dtype == jnp.bfloat16)
+                              fast=self.dtype == jnp.bfloat16, train=train)
         fused = jnp.concatenate(
             [feature.astype(self.dtype),
              jnp.broadcast_to(f_global, feature.shape[:2] + f_global.shape[-1:])],
@@ -179,17 +190,25 @@ class HSLayer(nn.Module):
         dir_norm = dir_norm.astype(self.dtype)
 
         on_tpu = jax.devices()[0].platform == "tpu"
-        if (self.support_scan and on_tpu and not train
-                and self.dtype == jnp.bfloat16):
-            # fast inference: fully-fused kernel (in-kernel gather + rf)
+        if self.support_scan and on_tpu and not train:
+            # inference: fully-fused v4 kernel (in-kernel gather + rf); exact
+            # split-gather + bf16x3 when f32, one-pass bf16 in fast mode
             from hspose_tpu.ops.pallas_hs_fused import hs_support_fused
 
             feature_center = (feature_map.astype(self.dtype)
                               @ weights[:, :co].astype(self.dtype) + bias[:co])
             activation = hs_support_fused(feature_map.astype(self.dtype),
                                           vertices, rf_idx, weights[:, co:],
-                                          bias[co:], dir_norm, s, co)
+                                          bias[co:], dir_norm.astype(jnp.float32),
+                                          s, co, exact=self.dtype == jnp.float32)
         elif self.support_scan and on_tpu:
+            # training: v3 custom-VJP kernel on pre-gathered tensors (see the
+            # surface layer's routing note — v4's in-kernel gathers are a FLOPs
+            # regression at train batch)
+            from hspose_tpu.ops.knn import (
+                gather_neighbors_kmajor,
+                neighbor_directions_normalized_kmajor,
+            )
             from hspose_tpu.ops.pallas_hs import hs_support_reduce
 
             feature_center = (feature_map.astype(self.dtype)
@@ -200,7 +219,8 @@ class HSLayer(nn.Module):
                                                   rf_idx)
             activation = hs_support_reduce(gathered_km, rf_km, weights[:, co:],
                                            bias[co:], dir_norm, s, co, kmajor=True,
-                                           exact=self.dtype == jnp.float32)
+                                           exact=self.dtype == jnp.float32,
+                                           bwd_exact=False)
         elif self.support_scan:
             rf_norm = neighbor_directions_normalized(vertices, rf_idx)  # (B, N, K, 3)
             feature_center = (feature_map.astype(self.dtype)
@@ -246,7 +266,7 @@ class HSLayer(nn.Module):
 
         # ORL (gcn3d.py:183-187)
         f_global = orl_global(feature.astype(self.dtype), orl_idx,
-                              fast=not train and self.dtype == jnp.bfloat16)
+                              fast=self.dtype == jnp.bfloat16, train=train)
         fused = jnp.concatenate(
             [feature.astype(self.dtype),
              jnp.broadcast_to(f_global, feature.shape[:2] + f_global.shape[-1:])],

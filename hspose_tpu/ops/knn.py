@@ -86,38 +86,107 @@ def _gather_precision(dtype) -> jax.lax.Precision:
             else jax.lax.Precision.HIGHEST)
 
 
-def gather_neighbors(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def _split3(x):
+    """f32 -> three bf16 arrays summing back to ~x (≤1 ulp)."""
+    hi = x.astype(jnp.bfloat16)
+    r = x - hi.astype(jnp.float32)
+    lo = r.astype(jnp.bfloat16)
+    lo2 = (r - lo.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo, lo2
+
+
+def _split_einsum(sub: str, one_hot, x) -> jnp.ndarray:
+    """One-hot einsum of f32 values as three DEFAULT-precision bf16 passes.
+
+    A HIGHEST-precision f32 einsum costs 6 MXU passes; the one-hot operand is
+    exact in bf16, so gathering the hi/lo/lo2 split of the values (f32
+    accumulate) reconstructs them to ≤1 ulp in half the passes."""
+    hi, lo, lo2 = _split3(x)
+    out = jnp.einsum(sub, one_hot, hi, precision=jax.lax.Precision.DEFAULT,
+                     preferred_element_type=jnp.float32)
+    out += jnp.einsum(sub, one_hot, lo, precision=jax.lax.Precision.DEFAULT,
+                      preferred_element_type=jnp.float32)
+    out += jnp.einsum(sub, one_hot, lo2, precision=jax.lax.Precision.DEFAULT,
+                      preferred_element_type=jnp.float32)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _gather_tpu_fn(kmajor: bool):
+    """custom-VJP one-hot gather for f32 features on TPU.
+
+    Forward AND backward (the one-hot transpose scatter of the cotangent) run
+    as split-bf16 einsums — the autodiff default would run the backward einsum
+    at the forward's HIGHEST precision (6 passes) for no gradient benefit."""
+    import numpy as _np
+
+    out_sub = "bmkn,bnc->bkmc" if kmajor else "bmkn,bnc->bmkc"
+    bwd_sub = "bmkn,bkmc->bnc" if kmajor else "bmkn,bmkc->bnc"
+
+    def one_hot_of(features, idx):
+        return jax.nn.one_hot(idx, features.shape[1], dtype=jnp.bfloat16)
+
+    @jax.custom_vjp
+    def fn(features, idx):
+        return _split_einsum(out_sub, one_hot_of(features, idx), features)
+
+    def fwd(features, idx):
+        return fn(features, idx), (features, idx)
+
+    def bwd(res, g):
+        features, idx = res
+        dfeat = _split_einsum(bwd_sub, one_hot_of(features, idx),
+                              g.astype(jnp.float32))
+        return dfeat.astype(features.dtype), _np.zeros(idx.shape,
+                                                       jax.dtypes.float0)
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
+def gather_neighbors(features: jnp.ndarray, idx: jnp.ndarray,
+                     bit_exact: bool = False) -> jnp.ndarray:
     """Gather per-neighbour features: features (B, N, C), idx (B, M, K) -> (B, M, K, C).
 
     Equivalent of ``gcn3d.indexing_neighbor_new`` (:39-47).  This is the
     memory-bandwidth hot spot of the backbone (SURVEY.md §3.1 hot-loop 2).
 
     On TPU the generic XLA gather runs at ~31 GB/s effective; expressing the same
-    gather as a one-hot einsum at HIGHEST precision is bit-exact (measured 0 ULP
-    against take_along_axis) and 2.4× faster, so it is the TPU default.  Other
-    backends use the plain gather.
+    gather as a one-hot einsum is far faster.  bf16 features gather bit-exactly
+    in one DEFAULT pass; f32 features gather as a hi/lo/lo2 split in three
+    DEFAULT passes (≤1 ulp; a HIGHEST einsum is 0-ULP but costs 6 passes both
+    forward and — via autodiff — backward).  Other backends use the plain
+    gather.
     """
     B, M, K = idx.shape
     if jax.devices()[0].platform == "tpu":
-        n = features.shape[1]
-        one_hot = jax.nn.one_hot(idx, n, dtype=features.dtype)  # (B, M, K, N)
-        return jnp.einsum("bmkn,bnc->bmkc", one_hot, features,
-                          precision=_gather_precision(features.dtype))
+        if features.dtype == jnp.bfloat16 or bit_exact:
+            # bf16: one DEFAULT pass is already 0-ULP.  bit_exact f32 (HIGHEST,
+            # 6 passes): required where an exact-zero difference downstream
+            # matters, e.g. rf of duplicated points must normalize to 0
+            n = features.shape[1]
+            one_hot = jax.nn.one_hot(idx, n, dtype=features.dtype)
+            return jnp.einsum("bmkn,bnc->bmkc", one_hot, features,
+                              precision=_gather_precision(features.dtype))
+        return _gather_tpu_fn(kmajor=False)(features, idx)
     flat = idx.reshape(B, M * K)
     out = jnp.take_along_axis(features, flat[..., None], axis=1)
     return out.reshape(B, M, K, features.shape[-1])
 
 
-def gather_neighbors_kmajor(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def gather_neighbors_kmajor(features: jnp.ndarray, idx: jnp.ndarray,
+                            bit_exact: bool = False) -> jnp.ndarray:
     """Like :func:`gather_neighbors` but emits the k-major layout (B, K, M, C)
     the fused HS kernels consume — the einsum writes that layout for free,
     whereas transposing afterwards costs an HBM round trip of the full tensor."""
     B, M, K = idx.shape
     if jax.devices()[0].platform == "tpu":
-        n = features.shape[1]
-        one_hot = jax.nn.one_hot(idx, n, dtype=features.dtype)  # (B, M, K, N)
-        return jnp.einsum("bmkn,bnc->bkmc", one_hot, features,
-                          precision=_gather_precision(features.dtype))
+        if features.dtype == jnp.bfloat16 or bit_exact:
+            n = features.shape[1]
+            one_hot = jax.nn.one_hot(idx, n, dtype=features.dtype)
+            return jnp.einsum("bmkn,bnc->bkmc", one_hot, features,
+                              precision=_gather_precision(features.dtype))
+        return _gather_tpu_fn(kmajor=True)(features, idx)
     flat = idx.reshape(B, M * K)
     out = jnp.take_along_axis(features, flat[..., None], axis=1)
     return out.reshape(B, M, K, features.shape[-1]).transpose(0, 2, 1, 3)
@@ -129,7 +198,7 @@ def neighbor_directions_normalized(vertices: jnp.ndarray, idx: jnp.ndarray) -> j
     vertices (B, N, 3), idx (B, N, K) -> (B, N, K, 3).
     Zero-length directions normalize to zero (torch F.normalize uses clamped norm).
     """
-    neighbors = gather_neighbors(vertices, idx)
+    neighbors = gather_neighbors(vertices, idx, bit_exact=True)
     direction = neighbors - vertices[:, :, None, :]
     norm = jnp.linalg.norm(direction, axis=-1, keepdims=True)
     return direction / jnp.maximum(norm, 1e-12)
@@ -138,7 +207,7 @@ def neighbor_directions_normalized(vertices: jnp.ndarray, idx: jnp.ndarray) -> j
 def neighbor_directions_normalized_kmajor(vertices: jnp.ndarray,
                                           idx: jnp.ndarray) -> jnp.ndarray:
     """K-major variant: (B, N, 3), (B, N, K) -> (B, K, N, 3) for the fused kernels."""
-    neighbors = gather_neighbors_kmajor(vertices, idx)  # (B, K, N, 3)
+    neighbors = gather_neighbors_kmajor(vertices, idx, bit_exact=True)  # (B, K, N, 3)
     direction = neighbors - vertices[:, None, :, :]
     norm = jnp.linalg.norm(direction, axis=-1, keepdims=True)
     return direction / jnp.maximum(norm, 1e-12)

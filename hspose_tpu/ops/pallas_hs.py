@@ -386,8 +386,17 @@ def _support_pallas_bwd(g, rf, w, b2, d, gbar, *, s, co, k_valid, tq, exact,
 
 
 @functools.lru_cache(maxsize=None)
-def _support_diff_fn(s, co, k_valid, tq, exact, interpret, theta_mxu=True):
-    """custom_vjp-wrapped support reduction over padded k-major tensors."""
+def _support_diff_fn(s, co, k_valid, tq, exact, interpret, theta_mxu=True,
+                     bwd_exact=None):
+    """custom_vjp-wrapped support reduction over padded k-major tensors.
+
+    ``bwd_exact`` decouples backward precision from the forward: gradients feed
+    an optimizer that tolerates bf16-grade noise, so training runs the backward
+    at one MXU pass per matmul (3x fewer than bf16x3) while the forward stays
+    f32-faithful — the measured win is ~2/3 of the backward-kernel time
+    (docs/PERFORMANCE.md)."""
+    if bwd_exact is None:
+        bwd_exact = exact
 
     @jax.custom_vjp
     def fn(g, rf, w, b2, d):
@@ -402,7 +411,7 @@ def _support_diff_fn(s, co, k_valid, tq, exact, interpret, theta_mxu=True):
         g, rf, w, b2, d = res
         dg, drf, dw, db2, dd = _support_pallas_bwd(
             g, rf, w, b2, d, gbar, s=s, co=co, k_valid=k_valid, tq=tq,
-            exact=exact, interpret=interpret)
+            exact=bwd_exact, interpret=interpret)
         return (dg.astype(g.dtype), drf.astype(rf.dtype), dw.astype(w.dtype),
                 db2.astype(b2.dtype), dd.astype(d.dtype))
 
@@ -412,13 +421,14 @@ def _support_diff_fn(s, co, k_valid, tq, exact, interpret, theta_mxu=True):
 
 @functools.partial(jax.jit, static_argnames=("support_num", "out_channel", "tq",
                                              "exact", "interpret", "kmajor",
-                                             "theta_mxu"))
+                                             "theta_mxu", "bwd_exact"))
 def hs_support_reduce(gathered: jnp.ndarray, rf_norm: jnp.ndarray,
                       weights: jnp.ndarray, bias: jnp.ndarray, dirs: jnp.ndarray,
                       support_num: int, out_channel: int, tq: int = 0,
                       exact: bool = True, interpret: bool = False,
                       kmajor: bool = False,
-                      theta_mxu: bool | None = None) -> jnp.ndarray:
+                      theta_mxu: bool | None = None,
+                      bwd_exact: bool | None = None) -> jnp.ndarray:
     """``mean_s max_k relu(rf·dir_s)·(gathered @ W_s + b_s)`` per point.
 
     gathered (B, N, K, Cin), rf_norm (B, N, K, 3) — or (B, K, N, ·) when
@@ -444,7 +454,7 @@ def hs_support_reduce(gathered: jnp.ndarray, rf_norm: jnp.ndarray,
     g, k_pad, n_pad = _prep_kmajor(gathered, tq)
     rf, _, _ = _prep_kmajor(rf_norm, tq)
     fn = _support_diff_fn(support_num, out_channel, K, tq, exact, interpret,
-                          theta_mxu)
+                          theta_mxu, bwd_exact)
     out = fn(g, rf, weights, bias.reshape(1, -1), dirs)
     return out[:, :N]
 
@@ -468,7 +478,11 @@ def _surface_pallas(rf, d, *, s, co, k_valid, tq, exact, interpret,
 
 
 @functools.lru_cache(maxsize=None)
-def _surface_diff_fn(s, co, k_valid, tq, exact, interpret, theta_mxu=True):
+def _surface_diff_fn(s, co, k_valid, tq, exact, interpret, theta_mxu=True,
+                     bwd_exact=None):
+    if bwd_exact is None:
+        bwd_exact = exact
+
     @jax.custom_vjp
     def fn(rf, d):
         return _surface_pallas(rf, d, s=s, co=co, k_valid=k_valid, tq=tq,
@@ -484,7 +498,7 @@ def _surface_diff_fn(s, co, k_valid, tq, exact, interpret, theta_mxu=True):
         s_co = s * co
         drf, dd = pl.pallas_call(
             functools.partial(_surface_bwd_kernel, s=s, co=co, k_valid=k_valid,
-                              exact=exact),
+                              exact=bwd_exact),
             out_shape=(
                 jax.ShapeDtypeStruct((B, k_pad, n_pad, 3), jnp.float32),
                 jax.ShapeDtypeStruct((8, s_co), jnp.float32),
@@ -509,11 +523,12 @@ def _surface_diff_fn(s, co, k_valid, tq, exact, interpret, theta_mxu=True):
 
 @functools.partial(jax.jit, static_argnames=("support_num", "out_channel", "tq",
                                              "exact", "interpret", "kmajor",
-                                             "theta_mxu"))
+                                             "theta_mxu", "bwd_exact"))
 def hs_surface_reduce(rf_norm: jnp.ndarray, dirs: jnp.ndarray, support_num: int,
                       out_channel: int, tq: int = 0, exact: bool = True,
                       interpret: bool = False, kmajor: bool = False,
-                      theta_mxu: bool | None = None) -> jnp.ndarray:
+                      theta_mxu: bool | None = None,
+                      bwd_exact: bool | None = None) -> jnp.ndarray:
     """rf_norm (B, N, K, 3) (or (B, K, N, 3) with ``kmajor=True``),
     dirs (3, S·C) -> (B, N, C) theta-only reduction.
 
@@ -530,6 +545,6 @@ def hs_surface_reduce(rf_norm: jnp.ndarray, dirs: jnp.ndarray, support_num: int,
     tq = _pick_tq(tq, k_pad, 0, out_channel, s_co)
     rf, k_pad, n_pad = _prep_kmajor(rf_norm, tq)
     fn = _surface_diff_fn(support_num, out_channel, K, tq, exact, interpret,
-                          theta_mxu)
+                          theta_mxu, bwd_exact)
     out = fn(rf, dirs)
     return out[:, :N]

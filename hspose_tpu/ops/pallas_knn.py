@@ -155,6 +155,64 @@ def _knn_kernel_streamed(x_ref, q_ref, out_ref, run_d, run_i, *, k: int,
         out_ref[0] = run_i[...]
 
 
+def _knn_kernel_tmaj(x_ref, qt_ref, out_ref, *, k: int, n_valid: int,
+                     use_mxu: bool, fast: bool):
+    """Candidate-major layout: distances (Npad, TQ) with candidates on the
+    SUBLANE axis.  Each of the k+1 min-reductions is then a tree of elementwise
+    vreg mins (Npad/8 ops) + 3 intra-vreg shuffles, instead of the lane-major
+    layout's per-row-group cross-lane shuffle cascades — measured ~1.5x faster
+    extraction at (256, 1028, k=21).
+
+    x_ref: (1, Npad, D) source points resident in VMEM;
+    qt_ref: (1, D_pad, TQ) the query tile TRANSPOSED;
+    out_ref: (1, kk, TQ) int32 — row j holds the j-th neighbour of every query
+    (the wrapper transposes back).
+    """
+    x = x_ref[0]  # (Npad, D)
+    npad = x.shape[0]
+    tq = qt_ref.shape[2]
+
+    if use_mxu:
+        prec = (jax.lax.Precision.DEFAULT if fast
+                else jax.lax.Precision.HIGHEST)
+        qt = qt_ref[0, :x.shape[1]]  # (D, TQ)
+        inner = jax.lax.dot_general(
+            x, qt, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)  # (Npad, TQ)
+        x_sq = jnp.sum(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+        q_sq = jnp.sum(qt.astype(jnp.float32) ** 2, axis=0, keepdims=True)
+        d = x_sq + q_sq - 2.0 * inner
+    else:
+        d = jnp.zeros((npad, tq), jnp.float32)
+        for dim in range(x.shape[1]):
+            diff = (x[:, dim:dim + 1].astype(jnp.float32)
+                    - qt_ref[0, dim:dim + 1, :].astype(jnp.float32))
+            d = d + diff * diff
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (npad, tq), 0)
+
+    if fast:
+        d_bits = jax.lax.bitcast_convert_type(jnp.maximum(d, 0.0), jnp.int32)
+        key = jnp.where(row < n_valid, (d_bits & ~_IDX_MASK) | row, _INT_BIG)
+
+        def extract(j, key):
+            m = jnp.min(key, axis=0)  # (TQ,)
+            out_ref[0, j] = m & _IDX_MASK
+            return jnp.where(key == m[None, :], _INT_BIG, key)
+
+        jax.lax.fori_loop(0, k, extract, key, unroll=True)
+    else:
+        d = jnp.where(row < n_valid, d, _BIG)
+
+        def extract(j, d):
+            m = jnp.min(d, axis=0, keepdims=True)  # (1, TQ)
+            idx = jnp.min(jnp.where(d <= m, row, npad), axis=0)  # (TQ,)
+            out_ref[0, j] = idx
+            return jnp.where(row == idx[None, :], _BIG, d)
+
+        jax.lax.fori_loop(0, k, extract, d, unroll=True)
+
+
 def _pad_to(x, n, axis, value=0.0):
     pad = n - x.shape[axis]
     if pad <= 0:
@@ -169,12 +227,13 @@ def _pad_to(x, n, axis, value=0.0):
 _STREAM_THRESHOLD = 2048
 
 
-@functools.partial(jax.custom_jvp, nondiff_argnums=(1, 2, 3, 4, 5))
+@functools.partial(jax.custom_jvp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
 @functools.partial(jax.jit,
-                   static_argnames=("k", "tq", "interpret", "fast", "ts"))
+                   static_argnames=("k", "tq", "interpret", "fast", "ts",
+                                    "tmaj"))
 def knn_indices_pallas(points: jnp.ndarray, k: int, tq: int = 128,
                        interpret: bool = False, fast: bool = False,
-                       ts: int = 512) -> jnp.ndarray:
+                       ts: int = 512, tmaj: bool = True) -> jnp.ndarray:
     """Indices of the k nearest neighbours excluding self: (B, N, D) -> (B, N, k).
 
     Drop-in replacement for ``ops.knn.knn_indices`` built on the fused kernel.
@@ -224,6 +283,25 @@ def knn_indices_pallas(points: jnp.ndarray, k: int, tq: int = 128,
     if fast and npad > (1 << _IDX_BITS):
         fast = False  # index no longer fits the packed key; fall back to exact
 
+    if tmaj:
+        # candidate-major extraction (see _knn_kernel_tmaj): queries ship
+        # transposed, neighbours come out k-major and are transposed back
+        d_blk = max(8, D)
+        qt = _pad_to(jnp.swapaxes(q, 1, 2), d_blk, 1)  # (B, D_pad, nq)
+        out = pl.pallas_call(
+            functools.partial(_knn_kernel_tmaj, k=kk, n_valid=N,
+                              use_mxu=use_mxu, fast=fast),
+            out_shape=jax.ShapeDtypeStruct((B, kk, nq), jnp.int32),
+            grid=(B, nq // tq),
+            in_specs=[
+                pl.BlockSpec((1, npad, D), lambda i, j: (i, 0, 0)),
+                pl.BlockSpec((1, d_blk, tq), lambda i, j: (i, 0, j)),
+            ],
+            out_specs=pl.BlockSpec((1, kk, tq), lambda i, j: (i, 0, j)),
+            interpret=interpret,
+        )(x, qt)
+        return jnp.swapaxes(out, 1, 2)[:, :N, 1:]
+
     kernel = _knn_kernel_fast if fast else _knn_kernel
     grid = (B, nq // tq)
     out = pl.pallas_call(
@@ -241,10 +319,10 @@ def knn_indices_pallas(points: jnp.ndarray, k: int, tq: int = 128,
 
 
 @knn_indices_pallas.defjvp
-def _knn_indices_jvp(k, tq, interpret, fast, ts, primals, tangents):
+def _knn_indices_jvp(k, tq, interpret, fast, ts, tmaj, primals, tangents):
     import numpy as _np
 
     (points,) = primals
-    out = knn_indices_pallas(points, k, tq, interpret, fast, ts)
+    out = knn_indices_pallas(points, k, tq, interpret, fast, ts, tmaj)
     tangent = _np.zeros(out.shape, dtype=jax.dtypes.float0)
     return out, tangent

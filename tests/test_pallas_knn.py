@@ -38,6 +38,43 @@ def test_excludes_self(rng):
     assert not np.any(got[0] == rows)
 
 
+def test_tmaj_matches_lane_major(rng):
+    """The candidate-major extraction must return identical neighbour sets to
+    the lane-major kernel, exact and fast, at production point count."""
+    pts = rng.normal(size=(2, 1028, 3)).astype(np.float32)
+    for fast in (False, True):
+        a = np.asarray(knn_indices_pallas(jnp.asarray(pts), 20, interpret=True,
+                                          fast=fast, tmaj=False))
+        b = np.asarray(knn_indices_pallas(jnp.asarray(pts), 20, interpret=True,
+                                          fast=fast, tmaj=True))
+        np.testing.assert_array_equal(a, b, err_msg=f"fast={fast}")
+
+
+def test_fast_mode_neighbor_overlap(rng):
+    """Packed-key fast mode truncates distances to ~2^-12 relative — pin the
+    neighbour-set agreement vs exact mode at production size (N=1028, k=20):
+    near-total overlap, disagreements only on distance near-ties."""
+    pts = rng.normal(scale=0.2, size=(2, 1028, 3)).astype(np.float32)
+    exact = np.asarray(knn_indices_pallas(jnp.asarray(pts), 20, interpret=True))
+    fast = np.asarray(knn_indices_pallas(jnp.asarray(pts), 20, interpret=True,
+                                         fast=True))
+    d = ((pts[:, :, None].astype(np.float64)
+          - pts[:, None].astype(np.float64)) ** 2).sum(-1)
+    total = exact.shape[0] * exact.shape[1]
+    mismatched_rows = 0
+    for b in range(exact.shape[0]):
+        for i in range(exact.shape[1]):
+            es, fs = set(exact[b, i].tolist()), set(fast[b, i].tolist())
+            if es != fs:
+                mismatched_rows += 1
+                # any swapped-in neighbour must be a distance near-tie at the
+                # packed-key truncation level (2^-12 relative)
+                for g, w in zip(sorted(fs - es), sorted(es - fs)):
+                    rel = abs(d[b, i, g] - d[b, i, w]) / max(d[b, i, w], 1e-12)
+                    assert rel < 2 ** -10, (b, i, rel)
+    assert mismatched_rows / total < 0.02, mismatched_rows / total
+
+
 def test_streamed_matches_flat(rng, monkeypatch):
     """Forcing the streamed path must reproduce the flat kernel bit-for-bit
     (identical per-element distance arithmetic, just blocked)."""

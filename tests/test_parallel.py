@@ -117,6 +117,69 @@ def test_dp_eval_inference_matches_single_device(rng):
         np.testing.assert_allclose(a["pred_scales"], b["pred_scales"], atol=1e-6)
 
 
+@pytest.mark.slow
+def test_two_process_dp_train(rng):
+    """Executable multi-host evidence (SURVEY §5.8 / VERDICT r2 #6): two OS
+    processes join via jax.distributed (local coordinator), run the DP train
+    step across their combined 4 CPU devices, and must reproduce the
+    single-process numerics."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    # pick a free port for the coordination service
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), "_dist_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen([sys.executable, worker, str(i), str(port)],
+                              stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                              text=True, env=env)
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"worker failed:\n{err[-4000:]}"
+        outs.append(out)
+    result = json.loads(outs[0].strip().splitlines()[-1])
+
+    # single-process reference: same step, same batch, 4-device mesh
+    import dataclasses as dc
+
+    from hspose_tpu.engine.train_step import build_train_step
+    from hspose_tpu.models.hspose import build_model
+    from test_checkpoint import _fake_batch
+
+    cfg = default_config()
+    cfg = cfg.replace(data=dc.replace(cfg.data, num_points=128))
+    model = build_model(cfg)
+    tx, state, train_step = build_train_step(cfg, model, jax.random.key(0))
+    mesh = make_mesh(ParallelConfig(dp=4))
+    state = replicate_state(mesh, jax.device_get(state))
+    batch = shard_batch(mesh, _fake_batch(np.random.default_rng(0), 8, 128))
+    key = jax.random.key(9)
+    losses = []
+    for _ in range(2):
+        state, metrics = train_step(state, batch, key)
+        losses.append(float(metrics["total_loss"]))
+    param_sum = float(sum(float(np.sum(np.abs(np.asarray(x))))
+                          for x in jax.tree_util.tree_leaves(
+                              jax.device_get(state.params))))
+
+    np.testing.assert_allclose(result["losses"], losses, rtol=1e-5)
+    np.testing.assert_allclose(result["param_sum"], param_sum, rtol=1e-5)
+
+
 def test_graft_dryrun_multichip():
     import sys
     sys.path.insert(0, "/root/repo")
