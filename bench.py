@@ -5,10 +5,12 @@ Measures the flagship metric from BASELINE.json — detection-crop pose inferenc
 single chip, batch 256, 1028-point clouds, the exact configuration of the batched
 REAL275 evaluation harness.
 
-Runs the bf16 fast inference mode (``model.compute_dtype=bfloat16``): measured
-deviations vs the f32-exact path are ≤0.6° on the predicted rotation axes and
-≤4e-4 m on translation/size — far below the 5°/2cm mAP bin widths (parity study
-in docs/PERFORMANCE.md; the f32-exact path and its throughput live there too).
+The headline value is the bf16 fast inference mode
+(``model.compute_dtype=bfloat16``): measured deviations vs the f32-exact path
+are ≤0.6° on the predicted rotation axes and ≤4e-4 m on translation/size — far
+below the 5°/2cm mAP bin widths (parity study in docs/PERFORMANCE.md).  The
+JSON line additionally carries ``exact_crops_per_sec`` (the f32-faithful
+serving path) and ``train_step_ms`` (full reference-recipe train step).
 
 Baseline note: the reference publishes no throughput number (SURVEY.md §6); its
 logged per-image inference time on the stated RTX 3090 with ~3 crops/image implies

@@ -78,6 +78,10 @@ class ModelConfig:
     # TPU-specific knobs (no reference equivalent)
     knn_impl: str = "auto"  # 'auto' (pallas on TPU) | 'xla' | 'pallas'
     compute_dtype: str = "float32"  # matmul dtype for the backbone
+    # backward-kernel precision: False (default) runs the HS-kernel backward at
+    # one bf16 MXU pass per matmul (~13 ms/step faster; bf16-grade gradient
+    # noise, sanity-verified); True keeps bf16x3 f32-faithful gradients
+    bwd_exact: bool = False
 
 
 @dataclass(frozen=True)

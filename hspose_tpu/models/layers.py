@@ -82,6 +82,7 @@ class HSLayerSurface(nn.Module):
     support_num: int
     dtype: jnp.dtype = jnp.float32
     support_scan: bool = True
+    bwd_exact: bool = False
 
     @nn.compact
     def __call__(self, vertices: jnp.ndarray, rf_idx: jnp.ndarray,
@@ -122,7 +123,7 @@ class HSLayerSurface(nn.Module):
                 vertices.astype(self.dtype), rf_idx)  # (B, K, N, 3)
             feature = hs_surface_reduce(rf_km, dir_norm, s, k, kmajor=True,
                                         exact=self.dtype == jnp.float32,
-                                        bwd_exact=False)
+                                        bwd_exact=self.bwd_exact)
         elif self.support_scan:
             rf_norm = neighbor_directions_normalized(vertices, rf_idx)  # (B, N, K, 3)
             dirs_s = dir_norm.reshape(3, s, k).transpose(1, 0, 2)  # (S, 3, C)
@@ -167,6 +168,7 @@ class HSLayer(nn.Module):
     support_num: int
     dtype: jnp.dtype = jnp.float32
     support_scan: bool = True
+    bwd_exact: bool = False
 
     @nn.compact
     def __call__(self, vertices: jnp.ndarray, feature_map: jnp.ndarray,
@@ -220,7 +222,7 @@ class HSLayer(nn.Module):
             activation = hs_support_reduce(gathered_km, rf_km, weights[:, co:],
                                            bias[co:], dir_norm, s, co, kmajor=True,
                                            exact=self.dtype == jnp.float32,
-                                           bwd_exact=False)
+                                           bwd_exact=self.bwd_exact)
         elif self.support_scan:
             rf_norm = neighbor_directions_normalized(vertices, rf_idx)  # (B, N, K, 3)
             feature_center = (feature_map.astype(self.dtype)
