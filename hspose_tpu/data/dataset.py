@@ -373,9 +373,15 @@ def make_worker_pool(cfg: DataConfig, mode: str = "train",
 
 
 def pool_batches(pool, batch_size: int, steps: int, seed: int,
-                 prefetch: int = 4) -> Iterator[Dict[str, np.ndarray]]:
+                 prefetch: int = 4,
+                 batch_timeout: float = 300.0) -> Iterator[Dict[str, np.ndarray]]:
     """In-order batch stream from a :func:`make_worker_pool` pool, with a bounded
-    window of in-flight batches.  Identical stream to the sync/thread modes."""
+    window of in-flight batches.  Identical stream to the sync/thread modes.
+
+    ``batch_timeout`` bounds the wait for any single batch: a worker that hangs
+    (NFS stall, deadlocked decode) raises a TimeoutError naming the step
+    instead of stalling a 150-epoch run silently; a worker that *dies* raises
+    with the worker traceback attached (same as the reference DataLoader)."""
     window = prefetch + getattr(pool, "_processes", 4)
     pending: Dict[int, object] = {}
     submitted = 0
@@ -384,7 +390,13 @@ def pool_batches(pool, batch_size: int, steps: int, seed: int,
             pending[submitted] = pool.apply_async(
                 _worker_make_batch, ((seed, submitted, batch_size),))
             submitted += 1
-        step, batch = pending.pop(i).get()
+        try:
+            step, batch = pending.pop(i).get(timeout=batch_timeout)
+        except multiprocessing.TimeoutError as e:
+            raise TimeoutError(
+                f"data worker produced no batch for step {i} within "
+                f"{batch_timeout:.0f}s (seed={seed}); the loader pool may be "
+                f"wedged — check worker logs / data source") from e
         assert step == i
         yield batch
 

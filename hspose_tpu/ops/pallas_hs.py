@@ -85,7 +85,8 @@ def _pick_tq_bwd(tq_fwd: int, n_pad: int, k_pad: int, cin: int, co: int,
         if n_pad % tq != 0:
             continue
         rows = tq * k_pad
-        bytes_needed = rows * (cin * 12 + co * 24 + 512) + cin * s_co * 8
+        bytes_needed = (rows * (cin * 12 + co * 24 + 512) + cin * s_co * 8
+                        + tq * s_co * 8)  # + the double-buffered win block
         if bytes_needed <= budget:
             best = tq
     return best
@@ -131,15 +132,20 @@ def _theta(rf, d_ref, off, co, *, exact: bool, mxu: bool):
                                precision=jax.lax.Precision.DEFAULT))
 
 
-def _support_kernel(g_ref, rf_ref, w_ref, b_ref, d_ref, o_ref, *, s: int, co: int,
-                    k_valid: int, exact: bool, theta_mxu: bool = True):
+def _support_kernel(g_ref, rf_ref, w_ref, b_ref, d_ref, o_ref, *args, s: int,
+                    co: int, k_valid: int, exact: bool, theta_mxu: bool = True,
+                    want_win: bool = False):
     """g (1, Kp, TQ, Cin), rf (1, Kp, TQ, 3), w (Cin, S·Co), b (1, S·Co),
-    d (3, S·Co) -> out (1, TQ, Co).
+    d (3, S·Co) -> out (1, TQ, Co) [+ win (1, TQ, S·Co) i32 when want_win].
 
     Rolled loop over supports keeps the temporaries (rows, Co)-sized (an all-
     supports (rows, S·Co) version forces tiny tiles — measured slower), while the
-    k-major max stays a pure cross-vreg reduction.
+    k-major max stays a pure cross-vreg reduction.  ``want_win`` additionally
+    records the first-occurrence argmax-over-k per (point, channel) — the
+    backward selects by this instead of recomputing the winner, so a
+    reduced-precision backward cannot misattribute gradients on near-ties.
     """
+    win_ref = args[0] if want_win else None
     kp, tq, cin = g_ref.shape[1], g_ref.shape[2], g_ref.shape[3]
     g = g_ref[0].reshape(kp * tq, cin)
     rf = rf_ref[0].reshape(kp * tq, 3)
@@ -147,6 +153,8 @@ def _support_kernel(g_ref, rf_ref, w_ref, b_ref, d_ref, o_ref, *, s: int, co: in
     if exact:
         g_hi = g.astype(jnp.bfloat16)
         g_lo = (g - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    if want_win:
+        k_iota = jax.lax.broadcasted_iota(jnp.int32, (kp, tq, co), 0)
 
     def body(j, acc):
         off = pl.multiple_of(j * co, co)
@@ -164,36 +172,52 @@ def _support_kernel(g_ref, rf_ref, w_ref, b_ref, d_ref, o_ref, *, s: int, co: in
         proj = proj + b_ref[0:1, pl.ds(off, co)]
         theta = _theta(rf, d_ref, off, co, exact=exact, mxu=theta_mxu)
         prod = (theta * proj).reshape(kp, tq, co)
-        return acc + jnp.max(prod[:k_valid], axis=0)  # cross-vreg maxes only
+        m = jnp.max(prod[:k_valid], axis=0)  # cross-vreg maxes only
+        if want_win:
+            eq = jnp.logical_and(prod >= m[None], k_iota < k_valid)
+            win_ref[0, :, pl.ds(off, co)] = jnp.min(
+                jnp.where(eq, k_iota, kp), axis=0)
+        return acc + m
 
     acc = jax.lax.fori_loop(0, s, body, jnp.zeros((tq, co), jnp.float32))
     o_ref[0] = acc / s
 
 
-def _surface_kernel(rf_ref, d_ref, o_ref, *, s: int, co: int, k_valid: int,
-                    exact: bool, theta_mxu: bool = True):
-    """rf (1, Kp, TQ, 3), d (3, S·Co) -> out (1, TQ, Co): theta-only reduction."""
+def _surface_kernel(rf_ref, d_ref, o_ref, *args, s: int, co: int, k_valid: int,
+                    exact: bool, theta_mxu: bool = True,
+                    want_win: bool = False):
+    """rf (1, Kp, TQ, 3), d (3, S·Co) -> out (1, TQ, Co) [+ win]: theta-only
+    reduction."""
+    win_ref = args[0] if want_win else None
     kp, tq = rf_ref.shape[1], rf_ref.shape[2]
     rf = rf_ref[0].reshape(kp * tq, 3)
+    if want_win:
+        k_iota = jax.lax.broadcasted_iota(jnp.int32, (kp, tq, co), 0)
 
     def body(j, acc):
         off = pl.multiple_of(j * co, co)
         theta = _theta(rf, d_ref, off, co, exact=exact, mxu=theta_mxu).reshape(kp, tq, co)
-        return acc + jnp.max(theta[:k_valid], axis=0)
+        m = jnp.max(theta[:k_valid], axis=0)
+        if want_win:
+            eq = jnp.logical_and(theta >= m[None], k_iota < k_valid)
+            win_ref[0, :, pl.ds(off, co)] = jnp.min(
+                jnp.where(eq, k_iota, kp), axis=0)
+        return acc + m
 
     acc = jax.lax.fori_loop(0, s, body, jnp.zeros((tq, co), jnp.float32))
     o_ref[0] = acc / s
 
 
-def _support_bwd_kernel(g_ref, rf_ref, w_ref, b_ref, d_ref, gbar_ref,
+def _support_bwd_kernel(g_ref, rf_ref, w_ref, b_ref, d_ref, win_ref, gbar_ref,
                         dg_ref, drf_ref, dw_ref, db_ref, dd_ref, *, s: int,
                         co: int, k_valid: int, exact: bool):
     """Backward of the support reduction.
 
     Recomputes theta/proj per support (cheaper than storing (B,K,N,S·Co)
-    residuals), finds the winning k per (point, channel) with first-occurrence
-    tie-break, and emits all five cotangents.  dw/db/dd use constant-index output
-    blocks accumulated across the sequentially-executed grid (zeroed at program
+    residuals) and selects the winning k per (point, channel) from the
+    forward-recorded ``win`` residual — exact selection regardless of the
+    backward's matmul precision.  dw/db/dd use constant-index output blocks
+    accumulated across the sequentially-executed grid (zeroed at program
     (0,0)); dg/drf are per-tile writes.
     """
     kp, tq, cin = g_ref.shape[1], g_ref.shape[2], g_ref.shape[3]
@@ -249,12 +273,10 @@ def _support_bwd_kernel(g_ref, rf_ref, w_ref, b_ref, d_ref, gbar_ref,
             proj = jnp.dot(g, w_s, preferred_element_type=jnp.float32, precision=dflt)
         proj = proj + b_ref[0:1, pl.ds(off, co)]
         theta = _theta_vpu(rf, d_ref, off, co)
-        prod = (theta * proj).reshape(kp, tq, co)
-        # winning k per (point, channel): first occurrence of the max among the
-        # k_valid real slots (matches a stable argmax)
-        m = jnp.max(prod[:k_valid], axis=0)  # (tq, co)
-        eq = jnp.logical_and(prod >= m[None], k_iota < k_valid)
-        ik = jnp.min(jnp.where(eq, k_iota, kp), axis=0)  # (tq, co)
+        # winning k per (point, channel): recorded by the forward (exact
+        # arithmetic) — a reduced-precision recompute here would route the
+        # gradient to the wrong neighbour on near-ties
+        ik = win_ref[0, :, pl.ds(off, co)]  # (tq, co)
         sel = (k_iota == ik[None]).astype(jnp.float32)  # one-hot over k
         dprod = (sel * gb[None]).reshape(rows, co)
         dpi = dprod * theta
@@ -279,9 +301,10 @@ def _support_bwd_kernel(g_ref, rf_ref, w_ref, b_ref, d_ref, gbar_ref,
     drf_ref[0] = drf_acc.reshape(kp, tq, 3)
 
 
-def _surface_bwd_kernel(rf_ref, d_ref, gbar_ref, drf_ref, dd_ref, *, s: int,
-                        co: int, k_valid: int, exact: bool):
-    """Backward of the theta-only reduction: cotangents for rf and dirs."""
+def _surface_bwd_kernel(rf_ref, d_ref, win_ref, gbar_ref, drf_ref, dd_ref, *,
+                        s: int, co: int, k_valid: int, exact: bool):
+    """Backward of the theta-only reduction: cotangents for rf and dirs.
+    Winner-k comes from the forward's ``win`` residual (see _support_bwd)."""
     kp, tq = rf_ref.shape[1], rf_ref.shape[2]
     rows = kp * tq
     rf = rf_ref[0].reshape(rows, 3).astype(jnp.float32)
@@ -299,10 +322,7 @@ def _surface_bwd_kernel(rf_ref, d_ref, gbar_ref, drf_ref, dd_ref, *, s: int,
     def body(j, drf_acc):
         off = pl.multiple_of(j * co, co)
         theta = _theta_vpu(rf, d_ref, off, co)
-        prod = theta.reshape(kp, tq, co)
-        m = jnp.max(prod[:k_valid], axis=0)
-        eq = jnp.logical_and(prod >= m[None], k_iota < k_valid)
-        ik = jnp.min(jnp.where(eq, k_iota, kp), axis=0)
+        ik = win_ref[0, :, pl.ds(off, co)]
         sel = (k_iota == ik[None]).astype(jnp.float32)
         du = jnp.where(theta > 0, (sel * gb[None]).reshape(rows, co), 0.0)
         d_s = d_ref[:, pl.ds(off, co)]
@@ -327,14 +347,20 @@ def _prep_kmajor(x, tq):
 
 
 def _support_pallas(g, rf, w, b2, d, *, s, co, k_valid, tq, exact, interpret,
-                    theta_mxu=True):
-    """Forward pallas_call on padded k-major inputs -> (B, n_pad, Co)."""
+                    theta_mxu=True, want_win=False):
+    """Forward pallas_call on padded k-major inputs -> (B, n_pad, Co)
+    [+ win (B, n_pad, S·Co) i32 when want_win]."""
     B, k_pad, n_pad, cin = g.shape
     s_co = s * co
+    out_shape = [jax.ShapeDtypeStruct((B, n_pad, co), jnp.float32)]
+    out_specs = [pl.BlockSpec((1, tq, co), lambda i, j: (i, j, 0))]
+    if want_win:
+        out_shape.append(jax.ShapeDtypeStruct((B, n_pad, s_co), jnp.int32))
+        out_specs.append(pl.BlockSpec((1, tq, s_co), lambda i, j: (i, j, 0)))
     return pl.pallas_call(
         functools.partial(_support_kernel, s=s, co=co, k_valid=k_valid,
-                          exact=exact, theta_mxu=theta_mxu),
-        out_shape=jax.ShapeDtypeStruct((B, n_pad, co), jnp.float32),
+                          exact=exact, theta_mxu=theta_mxu, want_win=want_win),
+        out_shape=tuple(out_shape) if want_win else out_shape[0],
         grid=(B, n_pad // tq),
         in_specs=[
             pl.BlockSpec((1, k_pad, tq, cin), lambda i, j: (i, 0, j, 0)),
@@ -343,13 +369,13 @@ def _support_pallas(g, rf, w, b2, d, *, s, co, k_valid, tq, exact, interpret,
             pl.BlockSpec((1, s_co), lambda i, j: (0, 0)),
             pl.BlockSpec((3, s_co), lambda i, j: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, tq, co), lambda i, j: (i, j, 0)),
+        out_specs=tuple(out_specs) if want_win else out_specs[0],
         interpret=interpret,
     )(g, rf, w, b2, d)
 
 
-def _support_pallas_bwd(g, rf, w, b2, d, gbar, *, s, co, k_valid, tq, exact,
-                        interpret):
+def _support_pallas_bwd(g, rf, w, b2, d, win, gbar, *, s, co, k_valid, tq,
+                        exact, interpret):
     """Backward pallas_call -> (dg, drf, dw, db2, dd) on padded shapes."""
     B, k_pad, n_pad, cin = g.shape
     s_co = s * co
@@ -371,6 +397,7 @@ def _support_pallas_bwd(g, rf, w, b2, d, gbar, *, s, co, k_valid, tq, exact,
             pl.BlockSpec((cin, s_co), lambda i, j: (0, 0)),
             pl.BlockSpec((1, s_co), lambda i, j: (0, 0)),
             pl.BlockSpec((3, s_co), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, tq, s_co), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, tq, co), lambda i, j: (i, j, 0)),
         ],
         out_specs=(
@@ -381,7 +408,7 @@ def _support_pallas_bwd(g, rf, w, b2, d, gbar, *, s, co, k_valid, tq, exact,
             pl.BlockSpec((8, s_co), lambda i, j: (0, 0)),
         ),
         interpret=interpret,
-    )(g, rf, w, b2, d, gbar)
+    )(g, rf, w, b2, d, win, gbar)
     return dg, drf, dw, db[0:1], dd[0:3]
 
 
@@ -405,12 +432,16 @@ def _support_diff_fn(s, co, k_valid, tq, exact, interpret, theta_mxu=True,
                                theta_mxu=theta_mxu)
 
     def fwd(g, rf, w, b2, d):
-        return fn(g, rf, w, b2, d), (g, rf, w, b2, d)
+        out, win = _support_pallas(g, rf, w, b2, d, s=s, co=co,
+                                   k_valid=k_valid, tq=tq, exact=exact,
+                                   interpret=interpret, theta_mxu=theta_mxu,
+                                   want_win=True)
+        return out, (g, rf, w, b2, d, win)
 
     def bwd(res, gbar):
-        g, rf, w, b2, d = res
+        g, rf, w, b2, d, win = res
         dg, drf, dw, db2, dd = _support_pallas_bwd(
-            g, rf, w, b2, d, gbar, s=s, co=co, k_valid=k_valid, tq=tq,
+            g, rf, w, b2, d, win, gbar, s=s, co=co, k_valid=k_valid, tq=tq,
             exact=bwd_exact, interpret=interpret)
         return (dg.astype(g.dtype), drf.astype(rf.dtype), dw.astype(w.dtype),
                 db2.astype(b2.dtype), dd.astype(d.dtype))
@@ -460,19 +491,24 @@ def hs_support_reduce(gathered: jnp.ndarray, rf_norm: jnp.ndarray,
 
 
 def _surface_pallas(rf, d, *, s, co, k_valid, tq, exact, interpret,
-                    theta_mxu=True):
+                    theta_mxu=True, want_win=False):
     B, k_pad, n_pad, _ = rf.shape
     s_co = s * co
+    out_shape = [jax.ShapeDtypeStruct((B, n_pad, co), jnp.float32)]
+    out_specs = [pl.BlockSpec((1, tq, co), lambda i, j: (i, j, 0))]
+    if want_win:
+        out_shape.append(jax.ShapeDtypeStruct((B, n_pad, s_co), jnp.int32))
+        out_specs.append(pl.BlockSpec((1, tq, s_co), lambda i, j: (i, j, 0)))
     return pl.pallas_call(
         functools.partial(_surface_kernel, s=s, co=co, k_valid=k_valid,
-                          exact=exact, theta_mxu=theta_mxu),
-        out_shape=jax.ShapeDtypeStruct((B, n_pad, co), jnp.float32),
+                          exact=exact, theta_mxu=theta_mxu, want_win=want_win),
+        out_shape=tuple(out_shape) if want_win else out_shape[0],
         grid=(B, n_pad // tq),
         in_specs=[
             pl.BlockSpec((1, k_pad, tq, 3), lambda i, j: (i, 0, j, 0)),
             pl.BlockSpec((3, s_co), lambda i, j: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, tq, co), lambda i, j: (i, j, 0)),
+        out_specs=tuple(out_specs) if want_win else out_specs[0],
         interpret=interpret,
     )(rf, d)
 
@@ -490,10 +526,13 @@ def _surface_diff_fn(s, co, k_valid, tq, exact, interpret, theta_mxu=True,
                                theta_mxu=theta_mxu)
 
     def fwd(rf, d):
-        return fn(rf, d), (rf, d)
+        out, win = _surface_pallas(rf, d, s=s, co=co, k_valid=k_valid, tq=tq,
+                                   exact=exact, interpret=interpret,
+                                   theta_mxu=theta_mxu, want_win=True)
+        return out, (rf, d, win)
 
     def bwd(res, gbar):
-        rf, d = res
+        rf, d, win = res
         B, k_pad, n_pad, _ = rf.shape
         s_co = s * co
         drf, dd = pl.pallas_call(
@@ -507,6 +546,7 @@ def _surface_diff_fn(s, co, k_valid, tq, exact, interpret, theta_mxu=True,
             in_specs=[
                 pl.BlockSpec((1, k_pad, tq, 3), lambda i, j: (i, 0, j, 0)),
                 pl.BlockSpec((3, s_co), lambda i, j: (0, 0)),
+                pl.BlockSpec((1, tq, s_co), lambda i, j: (i, j, 0)),
                 pl.BlockSpec((1, tq, co), lambda i, j: (i, j, 0)),
             ],
             out_specs=(
@@ -514,7 +554,7 @@ def _surface_diff_fn(s, co, k_valid, tq, exact, interpret, theta_mxu=True,
                 pl.BlockSpec((8, s_co), lambda i, j: (0, 0)),
             ),
             interpret=interpret,
-        )(rf, d, gbar)
+        )(rf, d, win, gbar)
         return drf.astype(rf.dtype), dd[0:3].astype(d.dtype)
 
     fn.defvjp(fwd, bwd)
