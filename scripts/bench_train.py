@@ -9,6 +9,9 @@ from hspose_tpu.engine.train_step import build_train_step
 from hspose_tpu.models.hspose import build_model
 
 cfg = default_config()
+if os.environ.get("HSPOSE_COMPUTE_DTYPE"):
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, compute_dtype=os.environ["HSPOSE_COMPUTE_DTYPE"]))
 model = build_model(cfg)
 print("building state...", flush=True)
 tx, state, train_step = build_train_step(cfg, model, jax.random.key(0))

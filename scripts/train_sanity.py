@@ -109,6 +109,9 @@ def main(steps=300):
     cfg = cfg.replace(optim=dataclasses.replace(cfg.optim, warmup_iters=100, lr=3e-4))
     if os.environ.get("HSPOSE_BWD_EXACT"):  # A/B knob for backward precision
         cfg = cfg.replace(model=dataclasses.replace(cfg.model, bwd_exact=True))
+    if os.environ.get("HSPOSE_COMPUTE_DTYPE"):  # A/B knob for bf16 training
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, compute_dtype=os.environ["HSPOSE_COMPUTE_DTYPE"]))
     mean_shape = np.array([0.12, 0.18, 0.12], np.float32)
 
     model = build_model(cfg)

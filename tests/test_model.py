@@ -142,3 +142,32 @@ class TestBatchNorm:
         before = jax.tree_util.tree_leaves(variables["batch_stats"])
         after = jax.tree_util.tree_leaves(mutated["batch_stats"])
         assert any(not np.allclose(b, a) for b, a in zip(before, after))
+
+
+@pytest.mark.slow
+def test_bf16_mixed_precision_train_step(rng):
+    """model.compute_dtype=bfloat16 trains end-to-end (bf16 backbone/heads,
+    f32 params/losses/optimizer): finite losses across steps and params move."""
+    import dataclasses
+
+    from hspose_tpu.config import default_config
+    from hspose_tpu.engine.train_step import build_train_step
+    from test_checkpoint import _fake_batch
+
+    cfg = default_config()
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, num_points=128),
+        model=dataclasses.replace(cfg.model, compute_dtype="bfloat16"))
+    model = build_model(cfg)
+    tx, state, step = build_train_step(cfg, model, jax.random.key(0))
+    p0 = jax.device_get(state.params)
+    batch = {k: jnp.asarray(v)
+             for k, v in _fake_batch(rng, 4, 128).items()}
+    for i in range(2):
+        state, m = step(state, batch, jax.random.key(i))
+        assert np.isfinite(float(m["total_loss"])), i
+    # params stay f32 and actually move
+    leaves0 = jax.tree_util.tree_leaves(p0)
+    leaves1 = jax.tree_util.tree_leaves(jax.device_get(state.params))
+    assert all(l.dtype == np.float32 for l in leaves1)
+    assert any(not np.allclose(a, b) for a, b in zip(leaves0, leaves1))
