@@ -272,7 +272,10 @@ def _support_bwd_kernel(g_ref, rf_ref, w_ref, b_ref, d_ref, win_ref, gbar_ref,
         else:
             proj = jnp.dot(g, w_s, preferred_element_type=jnp.float32, precision=dflt)
         proj = proj + b_ref[0:1, pl.ds(off, co)]
-        theta = _theta_vpu(rf, d_ref, off, co)
+        # VPU theta for the exact backward (bit-matches the forward's relu
+        # gate); one MXU pass in fast mode — values only, selection is the
+        # forward-recorded winner either way
+        theta = _theta(rf, d_ref, off, co, exact=exact, mxu=not exact)
         # winning k per (point, channel): recorded by the forward (exact
         # arithmetic) — a reduced-precision recompute here would route the
         # gradient to the wrong neighbour on near-ties
@@ -321,7 +324,7 @@ def _surface_bwd_kernel(rf_ref, d_ref, win_ref, gbar_ref, drf_ref, dd_ref, *,
 
     def body(j, drf_acc):
         off = pl.multiple_of(j * co, co)
-        theta = _theta_vpu(rf, d_ref, off, co)
+        theta = _theta(rf, d_ref, off, co, exact=exact, mxu=not exact)
         ik = win_ref[0, :, pl.ds(off, co)]
         sel = (k_iota == ik[None]).astype(jnp.float32)
         du = jnp.where(theta > 0, (sel * gb[None]).reshape(rows, co), 0.0)

@@ -163,6 +163,19 @@ def _scatter_rows(onehot, dg, exact: bool):
                                      precision=_DFLT)
 
 
+
+def _theta_relu(rfn, d_parts, exact: bool):
+    """relu(rfn·dir): VPU in exact mode (f32, overlaps the gather/proj MXU
+    passes — a bf16x3 theta costs as many MXU passes as the projection);
+    one bf16 MXU pass in fast mode."""
+    if not exact:
+        return jax.nn.relu(jnp.dot(rfn.astype(jnp.bfloat16), d_parts[0],
+                                   preferred_element_type=jnp.float32,
+                                   precision=_DFLT))
+    d = sum(p.astype(jnp.float32) for p in d_parts)
+    return jax.nn.relu(rfn[:, 0:1] * d[0:1] + rfn[:, 1:2] * d[1:2]
+                       + rfn[:, 2:3] * d[2:3])
+
 def _rf_chain(gxyz, cv):
     """rf = gathered xyz - centre; unit-normalized with the XLA-matching clamp
     (ops/knn.neighbor_directions_normalized: direction / max(norm, 1e-12))."""
@@ -218,7 +231,7 @@ def _support_fwd_kernel(*refs, s: int, co: int, k: int, nf: int, nv: int,
         gxyz = _gather(onehot, v_parts)
         _, _, _, rfn = _rf_chain(gxyz, cv)
         proj = _mm(g, w_parts, exact) + b_ref[0:1]
-        theta = jax.nn.relu(_mm(rfn, d_parts, exact))
+        theta = _theta_relu(rfn, d_parts, exact)
         prod = theta * proj
         if want_win:
             upd = prod > macc
@@ -259,7 +272,7 @@ def _surface_fwd_kernel(*refs, s: int, co: int, k: int, nv: int, nd: int,
         onehot = (iota_n == idx_j).astype(jnp.bfloat16)
         gxyz = _gather(onehot, v_parts)
         _, _, _, rfn = _rf_chain(gxyz, cv)
-        theta = jax.nn.relu(_mm(rfn, d_parts, exact))
+        theta = _theta_relu(rfn, d_parts, exact)
         if want_win:
             upd = theta > macc
             win = jnp.where(upd, j, win)
@@ -371,13 +384,12 @@ def _support_bwd_kernel(*refs, s: int, co: int, k: int, nf: int, nv: int,
         gxyz = _gather(onehot, v_parts)
         rf, norm, inv, rfn = _rf_chain(gxyz, cv)
         proj = _mm(g, w_parts, exact) + b_ref[0:1]
-        z = _mm(rfn, d_parts, exact)
-        theta = jax.nn.relu(z)
+        theta = _theta_relu(rfn, d_parts, exact)
 
         sel = (win == j).astype(jnp.float32)
         dprod = sel * gb_rep
         dproj = dprod * theta
-        dz = jnp.where(z > 0, dprod * proj, 0.0)
+        dz = jnp.where(theta > 0, dprod * proj, 0.0)
 
         dw_ref[...] += _mm_g(g, dproj, ((0,), (0,)), exact)  # (cin, S·Co)
         db_ref[0:1] += jnp.sum(dproj, axis=0, keepdims=True)
@@ -431,10 +443,10 @@ def _surface_bwd_kernel(*refs, s: int, co: int, k: int, nv: int, nd: int,
         onehot = (iota_n == idx_j).astype(jnp.bfloat16)
         gxyz = _gather(onehot, v_parts)
         rf, norm, inv, rfn = _rf_chain(gxyz, cv)
-        z = _mm(rfn, d_parts, exact)
+        theta = _theta_relu(rfn, d_parts, exact)
 
         sel = (win == j).astype(jnp.float32)
-        dz = jnp.where(z > 0, sel * gb_rep, 0.0)
+        dz = jnp.where(theta > 0, sel * gb_rep, 0.0)
 
         dd_ref[0:3] += _mm_g(rfn, dz, ((0,), (0,)), exact)
         drfn = _mm_gp(dz, d_parts, ((1,), (1,)), exact)

@@ -115,8 +115,9 @@ def main(steps=300):
     mean_shape = np.array([0.12, 0.18, 0.12], np.float32)
 
     model = build_model(cfg)
-    _, state, train_step = build_train_step(cfg, model, jax.random.key(0))
-    rng = np.random.default_rng(0)
+    seed = int(os.environ.get("HSPOSE_SANITY_SEED", "0"))
+    _, state, train_step = build_train_step(cfg, model, jax.random.key(seed))
+    rng = np.random.default_rng(seed)
 
     eval_batch = make_batch(rng, 32, cfg.data.num_points, mean_shape)
     deg0, cm0, s0 = pose_errors(model, state.params, state.batch_stats, eval_batch,
@@ -125,7 +126,7 @@ def main(steps=300):
           flush=True)
 
     import jax.numpy as jnp
-    key = jax.random.key(1)
+    key = jax.random.key(seed + 1)
     t0 = time.time()
     for i in range(steps):
         batch = {k: jnp.asarray(v) for k, v in
