@@ -20,9 +20,11 @@ Precision (v4.1): ``exact=False`` is the bf16 fast-inference path — inputs cas
 to bf16, one DEFAULT MXU pass per matmul (one-hot entries are exact in bf16 and
 the MXU accumulates in f32, so the *gather itself* is exact for bf16 values).
 ``exact=True`` is f32-faithful: features ship as a 3-term bf16 split
-(hi+lo+lo2 reconstructs f32 to ~1 ulp), xyz as a 2-term split, and every
-matmul runs as a manual bf16x3 (``Precision.HIGH`` does not exist inside
-Mosaic) — rel. error ~1e-7, the same budget as the v3 exact kernels.
+(hi+lo+lo2 reconstructs f32 to ~1 ulp), xyz as a 2-term split, projections run
+as manual bf16x3 (``Precision.HIGH`` does not exist inside Mosaic) and theta
+on the VPU in f32 (overlapping the gather/proj MXU passes) — rel. error ~1e-7
+on proj and ~1.5e-5 via the xyz split on theta, far inside the v3 exact
+kernels' parity budget.
 
 Differentiability (v4.2): all three reductions carry a ``jax.custom_vjp``.
 The forward-for-grad variant additionally records the winning neighbour slot
