@@ -882,7 +882,7 @@ def _orl_diff_fn(tq, exact, interpret):
 def hs_support_fused(feature_map: jnp.ndarray, vertices: jnp.ndarray,
                      idx: jnp.ndarray, weights: jnp.ndarray, bias: jnp.ndarray,
                      dirs: jnp.ndarray, support_num: int, out_channel: int,
-                     tq: int = 128, exact: bool = False,
+                     tq: int = 0, exact: bool = False,
                      interpret: bool = False) -> jnp.ndarray:
     """Fused HS support reduction with in-kernel gather + rf.
 
@@ -894,6 +894,10 @@ def hs_support_fused(feature_map: jnp.ndarray, vertices: jnp.ndarray,
     bf16 fast path.  Differentiable via a fused backward kernel (cotangents
     for feature_map, vertices, weights, bias, dirs).
     """
+    if tq <= 0:
+        # swept at B=256 (docs/PERFORMANCE.md): exact tiles want more VMEM per
+        # row (split parts + bf16x3 temporaries), fast prefers 128 at large N
+        tq = 64 if (exact or feature_map.shape[1] < 512) else 128
     fn = _support_diff_fn(support_num, out_channel, tq, exact, interpret)
     return fn(feature_map, vertices, idx, weights, bias, dirs)
 
@@ -901,11 +905,13 @@ def hs_support_fused(feature_map: jnp.ndarray, vertices: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("support_num", "out_channel", "tq",
                                              "exact", "interpret"))
 def hs_surface_fused(vertices: jnp.ndarray, idx: jnp.ndarray, dirs: jnp.ndarray,
-                     support_num: int, out_channel: int, tq: int = 256,
+                     support_num: int, out_channel: int, tq: int = 0,
                      exact: bool = False,
                      interpret: bool = False) -> jnp.ndarray:
     """Fused surface-layer reduction: vertices (B, N, 3), idx (B, N, K),
     dirs (3, S·Co) -> (B, N, Co) f32 theta-only reduction.  Differentiable."""
+    if tq <= 0:
+        tq = 128 if exact else 256  # swept at B=256
     fn = _surface_diff_fn(support_num, out_channel, tq, exact, interpret)
     return fn(vertices, idx, dirs)
 
