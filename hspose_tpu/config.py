@@ -49,6 +49,11 @@ class DataConfig:
     # host pipeline
     num_workers: int = 8
     prefetch: int = 4
+    # fused C++ decode+crop (native/preproc.cpp): bit-exact vs the cv2 path
+    # (tests/test_native_preproc.py), 1.6x faster per train sample / 2.1x per
+    # eval image single-threaded; falls back to cv2 automatically when the
+    # library can't build/load or a file needs cv2's wider format support
+    native_preproc: bool = True
 
 
 @dataclass(frozen=True)

@@ -31,6 +31,7 @@ import numpy as np
 
 from hspose_tpu.config import DataConfig
 from hspose_tpu.data import image_utils as iu
+from hspose_tpu.data import native_preproc as npp
 from hspose_tpu.geometry import symmetry as sym_tab
 
 CAMERA_INTRINSICS = np.array([[577.5, 0, 319.5], [0, 577.5, 239.5], [0, 0, 1]],
@@ -197,17 +198,24 @@ class PoseTrainDataset:
         # retry on is accepted here (the pose pipeline never reads its pixels)
         if not os.path.exists(img_path + "_color.png"):
             return retry()
-        try:
-            depth = iu.load_depth(img_path + "_depth.png")
-        except Exception:
-            return retry()
-        mask = cv2.imread(img_path + "_mask.png")
-        if mask is None:
-            return retry()
-        mask = mask[:, :, 2]
-        im_h, im_w = mask.shape[:2]
-
-        coord_2d = iu.get_2d_coord(im_w, im_h)  # (2, H, W)
+        # native fast path: defer the pixel decode to the fused C++ sample op
+        # (bit-exact vs the cv2 path below — tests/test_native_preproc.py);
+        # only the mask header is read here for im_h/im_w
+        depth = mask = None
+        dims = (npp.png_dims(img_path + "_mask.png")
+                if self.cfg.native_preproc else None)
+        if dims is not None:
+            im_h, im_w = dims
+        else:
+            try:
+                depth = iu.load_depth(img_path + "_depth.png")
+            except Exception:
+                return retry()
+            mask = cv2.imread(img_path + "_mask.png")
+            if mask is None:
+                return retry()
+            mask = mask[:, :, 2]
+            im_h, im_w = mask.shape[:2]
 
         inst_id = gts["instance_ids"][idx]
         rmin, rmax, cmin, cmax = iu.get_bbox(gts["bboxes"][idx], im_h, im_w)
@@ -217,17 +225,34 @@ class PoseTrainDataset:
                                         self.cfg.dzi_shift_ratio, self.cfg.dzi_type)
 
         s = self.cfg.img_size
-        roi_coord = iu.crop_resize_by_warp_affine(
-            coord_2d.transpose(1, 2, 0), center, scale, s).transpose(2, 0, 1)
-        mask_target = (mask == inst_id).astype(np.float32)
-        roi_mask = iu.crop_resize_by_warp_affine(mask_target, center, scale, s)
-        roi_depth = iu.crop_resize_by_warp_affine(depth.astype(np.float32), center,
-                                                  scale, s)
-
-        if np.sum(roi_depth > 0) <= 1:
-            return retry()
-        if np.sum((roi_mask > 0) & (roi_depth > 0)) <= 1:
-            return retry()
+        native = (npp.train_sample(img_path + "_depth.png", img_path + "_mask.png",
+                                   int(inst_id), center, scale, s)
+                  if dims is not None else None)
+        if native is not None:
+            roi_depth, roi_mask, roi_coord, n_depth, n_both = native
+            if n_depth <= 1 or n_both <= 1:
+                return retry()
+        else:
+            if depth is None:  # native decode declined — cv2 owns the retry walk
+                try:
+                    depth = iu.load_depth(img_path + "_depth.png")
+                except Exception:
+                    return retry()
+                mask = cv2.imread(img_path + "_mask.png")
+                if mask is None:
+                    return retry()
+                mask = mask[:, :, 2]
+            coord_2d = iu.get_2d_coord(im_w, im_h)  # (2, H, W)
+            roi_coord = iu.crop_resize_by_warp_affine(
+                coord_2d.transpose(1, 2, 0), center, scale, s).transpose(2, 0, 1)
+            mask_target = (mask == inst_id).astype(np.float32)
+            roi_mask = iu.crop_resize_by_warp_affine(mask_target, center, scale, s)
+            roi_depth = iu.crop_resize_by_warp_affine(depth.astype(np.float32),
+                                                      center, scale, s)
+            if np.sum(roi_depth > 0) <= 1:
+                return retry()
+            if np.sum((roi_mask > 0) & (roi_depth > 0)) <= 1:
+                return retry()
 
         cat_id = int(gts["class_ids"][idx]) - 1  # 0-based
         model = self.models[gts["model_list"][idx]].astype(np.float32)

@@ -19,6 +19,7 @@ import numpy as np
 
 from hspose_tpu.config import DataConfig
 from hspose_tpu.data import image_utils as iu
+from hspose_tpu.data import native_preproc as npp
 from hspose_tpu.data.dataset import (
     CAMERA_INTRINSICS,
     REAL_INTRINSICS,
@@ -114,44 +115,70 @@ class PoseEvalDataset:
         with open(detection_file, "rb") as f:
             detection_dict = pickle.load(f)
 
-        rgb = cv2.imread(img_path + "_color.png")
-        if rgb is None:
-            return None
-        im_h, im_w = rgb.shape[:2]
-        try:
-            depth = iu.load_depth(img_path + "_depth.png")
-        except Exception:
-            return None
+        # native fast path: header-only color dims (the reference decodes the
+        # full RGB just for im_h/im_w, load_data_eval.py:139-143), one fused
+        # C++ depth decode, and one threaded batch of fused crops over all
+        # instances — bit-exact vs the cv2 path (tests/test_native_preproc.py)
+        use_native = getattr(self.cfg, "native_preproc", True)
+        depth = None
+        dims = npp.png_dims(img_path + "_color.png") if use_native else None
+        if dims is not None:
+            im_h, im_w = dims
+            depth = npp.decode_depth(img_path + "_depth.png")
+        else:
+            rgb = cv2.imread(img_path + "_color.png")
+            if rgb is None:
+                return None
+            im_h, im_w = rgb.shape[:2]
+        if depth is None:
+            try:
+                depth = iu.load_depth(img_path + "_depth.png")
+            except Exception:
+                return None
 
         num_instances = len(detection_dict["pred_class_ids"])
-        coord_2d = iu.get_2d_coord(im_w, im_h)
+        s = self.cfg.img_size
 
         sym_infos, mean_shapes, obj_ids, obj_ids_0, pcls, valid_idx = \
             [], [], [], [], [], []
         roi_depths, roi_masks, roi_coords, cam_ks = [], [], [], []
+        sel, centers, scales = [], [], []
         for j in range(num_instances):
             cat_id = int(detection_dict["pred_class_ids"][j])
             if self.per_obj_id is not None:
                 if cat_id != self.per_obj_id:
                     continue
                 valid_idx.append(j)
-
-            mask = detection_dict["pred_masks"][:, :, j]
             rmin, rmax, cmin, cmax = iu.get_bbox(detection_dict["pred_bboxes"][j],
                                                  im_h, im_w)
             center, scale = iu.bbox_center_scale_eval(
                 np.array([cmin, rmin, cmax, rmax]), im_h, im_w)
+            sel.append(j)
+            centers.append(center)
+            scales.append(scale)
 
-            s = self.cfg.img_size
-            roi_coord = iu.crop_resize_by_warp_affine(
-                coord_2d.transpose(1, 2, 0), center, scale, s).transpose(2, 0, 1)
-            roi_mask = iu.crop_resize_by_warp_affine(
-                mask.astype(np.float32), center, scale, s)
-            roi_depth = iu.crop_resize_by_warp_affine(
-                depth.astype(np.float32), center, scale, s)
-
-            if np.sum(roi_depth > 0) <= 1 or np.sum((roi_mask > 0) & (roi_depth > 0)) <= 1:
-                return None
+        native = (npp.eval_crops(depth, detection_dict["pred_masks"], sel,
+                                 centers, scales, s)
+                  if use_native and sel else None)
+        coord_2d = None if native is not None else iu.get_2d_coord(im_w, im_h)
+        for i, j in enumerate(sel):
+            cat_id = int(detection_dict["pred_class_ids"][j])
+            if native is not None:
+                roi_depth, roi_mask = native[0][i], native[1][i]
+                roi_coord, counts = native[2][i], native[3][i]
+                if counts[0] <= 1 or counts[1] <= 1:
+                    return None
+            else:
+                mask = detection_dict["pred_masks"][:, :, j]
+                roi_coord = iu.crop_resize_by_warp_affine(
+                    coord_2d.transpose(1, 2, 0), centers[i], scales[i],
+                    s).transpose(2, 0, 1)
+                roi_mask = iu.crop_resize_by_warp_affine(
+                    mask.astype(np.float32), centers[i], scales[i], s)
+                roi_depth = iu.crop_resize_by_warp_affine(
+                    depth.astype(np.float32), centers[i], scales[i], s)
+                if np.sum(roi_depth > 0) <= 1 or np.sum((roi_mask > 0) & (roi_depth > 0)) <= 1:
+                    return None
             if self.sample_mode == "device":
                 roi_depths.append(roi_depth.astype(np.float32))
                 roi_masks.append(roi_mask.astype(np.float32))
