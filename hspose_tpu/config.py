@@ -204,6 +204,12 @@ class ParallelConfig:
 
     dp: int = -1  # -1: use all available devices on the data axis
     mesh_axis_name: str = "dp"
+    # model (tensor) parallelism: mp > 1 lays the devices out as a 2-D
+    # (dp, mp) mesh and shards every eligible Dense kernel's OUTPUT channels
+    # over the mp axis (parallel/mesh.py::state_sharding) — XLA inserts the
+    # all-gathers/reduces over ICI.  mp=1 keeps the pure-DP 1-D mesh.
+    mp: int = 1
+    model_axis_name: str = "mp"
 
 
 @dataclass(frozen=True)

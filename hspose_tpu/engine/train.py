@@ -26,7 +26,7 @@ from hspose_tpu.config import HSPoseConfig, parse_overrides
 from hspose_tpu.engine.checkpoint import restore_checkpoint, save_checkpoint
 from hspose_tpu.engine.train_step import build_train_step
 from hspose_tpu.models.hspose import build_model
-from hspose_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch
+from hspose_tpu.parallel.mesh import make_mesh, shard_batch, shard_state
 from hspose_tpu.utils.logging import MetricWriter, setup_logger
 
 
@@ -56,14 +56,17 @@ def train(cfg: HSPoseConfig):
 
     # the data axis must divide the batch: use the largest qualifying mesh
     n_dev = len(jax.devices())
-    dp = cfg.parallel.dp if cfg.parallel.dp > 0 else n_dev
+    mp = max(cfg.parallel.mp, 1)
+    dp = cfg.parallel.dp if cfg.parallel.dp > 0 else n_dev // mp
     while cfg.train.batch_size % dp != 0:
         dp -= 1
     mesh = make_mesh(dataclasses.replace(cfg.parallel, dp=dp))
     logger.info("device mesh: %s", mesh)
-    # replicate params/opt state across the mesh (restored checkpoints arrive
-    # committed to a single device, which conflicts with mesh-sharded batches)
-    state = replicate_state(mesh, jax.device_get(state))
+    # place params/opt state on the mesh: replicated for pure DP, Dense output
+    # channels sharded over the mp axis for a 2-D mesh (restored checkpoints
+    # arrive committed to a single device, which conflicts with mesh-sharded
+    # batches — hence the host round-trip)
+    state = shard_state(mesh, jax.device_get(state))
 
     from hspose_tpu.data.dataset import PoseTrainDataset, make_worker_pool
 

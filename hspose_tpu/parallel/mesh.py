@@ -37,10 +37,19 @@ def init_distributed(coordinator_address: Optional[str] = None,
 
 
 def make_mesh(cfg: ParallelConfig, devices=None) -> Mesh:
+    """1-D (dp,) mesh, or a 2-D (dp, mp) mesh when ``cfg.mp > 1``.
+
+    The batch axis always shards over dp only; mp shards Dense output
+    channels (see :func:`state_sharding`)."""
     devices = devices if devices is not None else jax.devices()
-    dp = cfg.dp if cfg.dp > 0 else len(devices)
-    assert dp <= len(devices), f"requested dp={dp} > {len(devices)} devices"
-    return Mesh(np.array(devices[:dp]).reshape(dp), (cfg.mesh_axis_name,))
+    mp = max(cfg.mp, 1)
+    dp = cfg.dp if cfg.dp > 0 else len(devices) // mp
+    assert dp * mp <= len(devices), \
+        f"requested dp*mp={dp}*{mp} > {len(devices)} devices"
+    if mp == 1:
+        return Mesh(np.array(devices[:dp]).reshape(dp), (cfg.mesh_axis_name,))
+    return Mesh(np.array(devices[:dp * mp]).reshape(dp, mp),
+                (cfg.mesh_axis_name, cfg.model_axis_name))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -49,6 +58,43 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def state_sharding(mesh: Mesh, tree):
+    """Per-leaf NamedShardings for params / optimizer state / batch stats.
+
+    1-D mesh: everything replicated (pure DP).  2-D mesh: every ``kernel``
+    leaf (flax Dense) whose output dim divides by mp and is >=256 shards its
+    OUTPUT channels over the mp axis — the pose heads' 1286->1024->256 blocks
+    and the STE/conv2 per-point maps.  Because optax state subtrees (mu, nu,
+    lookahead slow params...) reuse the param tree's key paths, the same
+    path-suffix rule shards them consistently.  Pallas-kernel operands
+    (``weights``/``directions`` of the HS layers) stay replicated: a
+    pallas_call has no partitioning rule, so sharding them would only buy an
+    all-gather in front of every kernel launch.
+    """
+    if len(mesh.axis_names) == 1:
+        return jax.tree_util.tree_map(lambda _: replicated(mesh), tree)
+    mp_axis = mesh.axis_names[1]
+    mp = mesh.shape[mp_axis]
+
+    def rule(path, leaf):
+        name = None
+        if path:
+            last = path[-1]
+            name = getattr(last, "key", None) or getattr(last, "name", None)
+        shape = getattr(leaf, "shape", ())
+        if (name == "kernel" and len(shape) == 2 and shape[1] % mp == 0
+                and shape[1] >= 256):
+            return NamedSharding(mesh, P(None, mp_axis))
+        return replicated(mesh)
+
+    return jax.tree_util.tree_map_with_path(rule, tree)
+
+
+def shard_state(mesh: Mesh, tree):
+    """Place a host-side state pytree per :func:`state_sharding`."""
+    return jax.tree_util.tree_map(jax.device_put, tree, state_sharding(mesh, tree))
 
 
 def shard_batch(mesh: Mesh, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
