@@ -226,21 +226,51 @@ def _support_fwd_kernel(*refs, s: int, co: int, k: int, nf: int, nv: int,
 
     macc = jnp.full((tq, s * co), _NEG_BIG, jnp.float32)
     win = jnp.zeros((tq, s * co), jnp.int32) if want_win else None
-    for j in range(k):
-        idx_j = idx_ref[0, :, j:j + 1]
-        onehot = (iota_n == idx_j).astype(jnp.bfloat16)
-        g = _gather(onehot, f_parts)
-        gxyz = _gather(onehot, v_parts)
-        _, _, _, rfn = _rf_chain(gxyz, cv)
-        proj = _mm(g, w_parts, exact) + b_ref[0:1]
-        theta = _theta_relu(rfn, d_parts, exact)
-        prod = theta * proj
-        if want_win:
-            upd = prod > macc
-            win = jnp.where(upd, j, win)
-            macc = jnp.where(upd, prod, macc)
-        else:
-            macc = jnp.maximum(macc, prod)
+    if want_win or k < 2:
+        for j in range(k):
+            idx_j = idx_ref[0, :, j:j + 1]
+            onehot = (iota_n == idx_j).astype(jnp.bfloat16)
+            g = _gather(onehot, f_parts)
+            gxyz = _gather(onehot, v_parts)
+            _, _, _, rfn = _rf_chain(gxyz, cv)
+            proj = _mm(g, w_parts, exact) + b_ref[0:1]
+            theta = _theta_relu(rfn, d_parts, exact)
+            prod = theta * proj
+            if want_win:
+                upd = prod > macc
+                win = jnp.where(upd, j, win)
+                macc = jnp.where(upd, prod, macc)
+            else:
+                macc = jnp.maximum(macc, prod)
+    else:
+        # serving path: process neighbour slots in PAIRS — one (2·tq, n)
+        # one-hot matmul per gather/projection instead of two (tq, n) ones.
+        # Same FLOPs, half the MXU passes, and the resident source block
+        # streams through the MXU weight registers half as often (the kernels
+        # are pass-bound, not FLOP-bound — docs/PERFORMANCE.md N-scaling probe)
+        cv2 = jnp.concatenate([cv, cv], axis=0)
+        for j in range(0, k - 1, 2):
+            oh_a = iota_n == idx_ref[0, :, j:j + 1]
+            oh_b = iota_n == idx_ref[0, :, j + 1:j + 2]
+            # concat the aligned (tq, n) one-hots, not the idx column slices
+            # (Mosaic can't concat vectors with mismatched lane offsets)
+            onehot = jnp.concatenate([oh_a, oh_b], axis=0).astype(jnp.bfloat16)
+            g = _gather(onehot, f_parts)
+            gxyz = _gather(onehot, v_parts)
+            _, _, _, rfn = _rf_chain(gxyz, cv2)
+            proj = _mm(g, w_parts, exact) + b_ref[0:1]
+            theta = _theta_relu(rfn, d_parts, exact)
+            prod = theta * proj
+            macc = jnp.maximum(macc, jnp.maximum(prod[:tq], prod[tq:]))
+        if k % 2:
+            idx_j = idx_ref[0, :, k - 1:k]
+            onehot = (iota_n == idx_j).astype(jnp.bfloat16)
+            g = _gather(onehot, f_parts)
+            gxyz = _gather(onehot, v_parts)
+            _, _, _, rfn = _rf_chain(gxyz, cv)
+            proj = _mm(g, w_parts, exact) + b_ref[0:1]
+            theta = _theta_relu(rfn, d_parts, exact)
+            macc = jnp.maximum(macc, theta * proj)
 
     acc = jnp.zeros((tq, co), jnp.float32)
     for j in range(s):
@@ -269,18 +299,39 @@ def _surface_fwd_kernel(*refs, s: int, co: int, k: int, nv: int, nd: int,
 
     macc = jnp.full((tq, s * co), _NEG_BIG, jnp.float32)
     win = jnp.zeros((tq, s * co), jnp.int32) if want_win else None
-    for j in range(k):
-        idx_j = idx_ref[0, :, j:j + 1]
-        onehot = (iota_n == idx_j).astype(jnp.bfloat16)
-        gxyz = _gather(onehot, v_parts)
-        _, _, _, rfn = _rf_chain(gxyz, cv)
-        theta = _theta_relu(rfn, d_parts, exact)
-        if want_win:
-            upd = theta > macc
-            win = jnp.where(upd, j, win)
-            macc = jnp.where(upd, theta, macc)
-        else:
-            macc = jnp.maximum(macc, theta)
+    if want_win or k < 2:
+        for j in range(k):
+            idx_j = idx_ref[0, :, j:j + 1]
+            onehot = (iota_n == idx_j).astype(jnp.bfloat16)
+            gxyz = _gather(onehot, v_parts)
+            _, _, _, rfn = _rf_chain(gxyz, cv)
+            theta = _theta_relu(rfn, d_parts, exact)
+            if want_win:
+                upd = theta > macc
+                win = jnp.where(upd, j, win)
+                macc = jnp.where(upd, theta, macc)
+            else:
+                macc = jnp.maximum(macc, theta)
+    else:
+        # serving path: paired slots, halving MXU pass count (see the support
+        # kernel's comment)
+        cv2 = jnp.concatenate([cv, cv], axis=0)
+        for j in range(0, k - 1, 2):
+            oh_a = iota_n == idx_ref[0, :, j:j + 1]
+            oh_b = iota_n == idx_ref[0, :, j + 1:j + 2]
+            # concat the aligned (tq, n) one-hots, not the idx column slices
+            # (Mosaic can't concat vectors with mismatched lane offsets)
+            onehot = jnp.concatenate([oh_a, oh_b], axis=0).astype(jnp.bfloat16)
+            gxyz = _gather(onehot, v_parts)
+            _, _, _, rfn = _rf_chain(gxyz, cv2)
+            theta = _theta_relu(rfn, d_parts, exact)
+            macc = jnp.maximum(macc, jnp.maximum(theta[:tq], theta[tq:]))
+        if k % 2:
+            idx_j = idx_ref[0, :, k - 1:k]
+            onehot = (iota_n == idx_j).astype(jnp.bfloat16)
+            gxyz = _gather(onehot, v_parts)
+            _, _, _, rfn = _rf_chain(gxyz, cv)
+            macc = jnp.maximum(macc, _theta_relu(rfn, d_parts, exact))
 
     acc = jnp.zeros((tq, co), jnp.float32)
     for j in range(s):
@@ -312,16 +363,32 @@ def _orl_fwd_kernel(*refs, k: int, n_valid: int, tq: int, want_win: bool):
 
     macc = jnp.full((tq, c), _NEG_BIG, jnp.float32)
     win = jnp.zeros((tq, c), jnp.int32) if want_win else None
-    for j in range(k):
-        idx_j = idx_ref[0, :, j:j + 1]
-        onehot = (iota_n == idx_j).astype(jnp.bfloat16)
-        gk = _gather(onehot, f_parts)
-        if want_win:
-            upd = gk > macc
-            win = jnp.where(upd, j, win)
-            macc = jnp.where(upd, gk, macc)
-        else:
-            macc = jnp.maximum(macc, gk)
+    if want_win or k < 2:
+        for j in range(k):
+            idx_j = idx_ref[0, :, j:j + 1]
+            onehot = (iota_n == idx_j).astype(jnp.bfloat16)
+            gk = _gather(onehot, f_parts)
+            if want_win:
+                upd = gk > macc
+                win = jnp.where(upd, j, win)
+                macc = jnp.where(upd, gk, macc)
+            else:
+                macc = jnp.maximum(macc, gk)
+    else:
+        # serving path: paired slots, halving MXU pass count (see the support
+        # kernel's comment)
+        for j in range(0, k - 1, 2):
+            oh_a = iota_n == idx_ref[0, :, j:j + 1]
+            oh_b = iota_n == idx_ref[0, :, j + 1:j + 2]
+            # concat the aligned (tq, n) one-hots, not the idx column slices
+            # (Mosaic can't concat vectors with mismatched lane offsets)
+            onehot = jnp.concatenate([oh_a, oh_b], axis=0).astype(jnp.bfloat16)
+            gk = _gather(onehot, f_parts)
+            macc = jnp.maximum(macc, jnp.maximum(gk[:tq], gk[tq:]))
+        if k % 2:
+            idx_j = idx_ref[0, :, k - 1:k]
+            onehot = (iota_n == idx_j).astype(jnp.bfloat16)
+            macc = jnp.maximum(macc, _gather(onehot, f_parts))
 
     # padded query rows gathered row 0's features — zero them before the sum
     row = pl.program_id(1) * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, 1), 0)
