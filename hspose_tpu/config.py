@@ -49,10 +49,10 @@ class DataConfig:
     # host pipeline
     num_workers: int = 8
     prefetch: int = 4
-    # fused C++ decode+crop (native/preproc.cpp): bit-exact vs the cv2 path
-    # (tests/test_native_preproc.py), 1.6x faster per train sample / 2.1x per
-    # eval image single-threaded; falls back to cv2 automatically when the
-    # library can't build/load or a file needs cv2's wider format support
+    # fused C++ decode+crop+backprojection (native/preproc.cpp): bit-exact vs
+    # the cv2/numpy path (tests/test_native_preproc.py), 1.8x faster per train
+    # sample / 4x per eval image single-threaded; falls back automatically
+    # when the library can't build/load or a file needs cv2's wider formats
     native_preproc: bool = True
 
 

@@ -297,7 +297,14 @@ class PoseTrainDataset:
 
 
 def host_depth_to_pcl(roi_depth, cam_k, roi_coord, roi_mask) -> np.ndarray:
-    """Host back-projection (load_data.py:322-333), output in mm."""
+    """Host back-projection (load_data.py:322-333), output in mm.
+
+    The native one-pass implementation (native/preproc.cpp::hsp_backproject) is
+    bit-exact vs this numpy path (tests/test_native_preproc.py) and used when
+    available; numpy is the fallback and the semantics reference."""
+    pcl = npp.backproject(roi_depth, cam_k, roi_coord, roi_mask)
+    if pcl is not None:
+        return pcl
     fx, fy = cam_k[0, 0], cam_k[1, 1]
     cx, cy = cam_k[0, 2], cam_k[1, 2]
     depth = roi_depth.reshape(-1).astype(np.float64)

@@ -73,6 +73,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
             _u16p, ctypes.c_int, ctypes.c_int, _u8p, ctypes.c_int, _i32p,
             ctypes.c_int, _f64p, _f64p, ctypes.c_int, _f32p, _f32p, _f32p, _i32p,
             ctypes.c_int]
+        lib.hsp_backproject.argtypes = [
+            _f32p, _f32p, _f32p, _f32p, ctypes.c_long, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, _f32p, _i32p]
         _lib = lib
         return _lib
 
@@ -133,6 +136,31 @@ def train_sample(depth_path: str, mask_path: str, inst_id: int, center,
     if rc != 0:
         return None
     return roi_depth, roi_mask, roi_coord, int(counts[0]), int(counts[1])
+
+
+def backproject(roi_depth: np.ndarray, cam_k: np.ndarray, roi_coord: np.ndarray,
+                roi_mask: np.ndarray) -> Optional[np.ndarray]:
+    """Masked depth back-projection, bit-exact vs the numpy implementation
+    (``data.dataset.host_depth_to_pcl`` — f32 coordinate subtract, f64
+    multiply/divide, f32 output; reference load_data.py:322-333).  Returns the
+    (n, 3) f32 point cloud in mm, or None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    roi_depth = np.ascontiguousarray(roi_depth, np.float32)
+    roi_mask = np.ascontiguousarray(roi_mask, np.float32)
+    roi_coord = np.ascontiguousarray(roi_coord, np.float32)
+    if roi_mask.shape != roi_depth.shape or roi_coord.shape != (2,) + roi_depth.shape:
+        return None
+    out = np.empty((roi_depth.size, 3), np.float32)
+    count = ctypes.c_int()
+    lib.hsp_backproject(
+        _ptr(roi_depth, ctypes.c_float), _ptr(roi_mask, ctypes.c_float),
+        _ptr(roi_coord[0], ctypes.c_float), _ptr(roi_coord[1], ctypes.c_float),
+        roi_depth.size, float(cam_k[0, 0]), float(cam_k[1, 1]),
+        float(cam_k[0, 2]), float(cam_k[1, 2]),
+        _ptr(out, ctypes.c_float), ctypes.byref(count))
+    return out[:count.value]
 
 
 def eval_crops(depth: np.ndarray, masks: np.ndarray, inst_cols, centers, scales,

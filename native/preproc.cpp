@@ -325,4 +325,31 @@ int hsp_eval_crops(const uint16_t* depth, int h, int w, const uint8_t* masks,
   return kOk;
 }
 
+// Back-projection (datasets/load_data.py:322-333 semantics, bit-exact):
+// row-major scan over the crop; valid = depth > 0 && mask > 0; per point
+//   dx32 = (float)(x_map - cx)            [numpy does the subtract in f32]
+//   real_x = (double)dx32 * (double)depth / (double)fx   [then f64]
+// outputs cast to f32.  out must hold n_px * 3 floats; returns the count.
+int hsp_backproject(const float* depth, const float* mask, const float* xmap,
+                    const float* ymap, long n_px, float fx, float fy, float cx,
+                    float cy, float* out, int* count) {
+  long n = 0;
+  for (long i = 0; i < n_px; ++i) {
+    const float dv = depth[i];
+    if (dv > 0.f && mask[i] > 0.f) {
+      const double d = static_cast<double>(dv);
+      const float dx32 = xmap[i] - cx;
+      const float dy32 = ymap[i] - cy;
+      out[n * 3 + 0] = static_cast<float>(static_cast<double>(dx32) * d /
+                                          static_cast<double>(fx));
+      out[n * 3 + 1] = static_cast<float>(static_cast<double>(dy32) * d /
+                                          static_cast<double>(fy));
+      out[n * 3 + 2] = static_cast<float>(d);
+      ++n;
+    }
+  }
+  *count = static_cast<int>(n);
+  return kOk;
+}
+
 }  // extern "C"

@@ -248,3 +248,38 @@ class TestPipelineIntegration:
                 for k in d_n:
                     np.testing.assert_array_equal(d_n[k], d_c[k],
                                                   err_msg=f"{mode} key={k}")
+
+
+class TestBackproject:
+    def test_matches_numpy_bitexact(self, rng):
+        from hspose_tpu.data.dataset import CAMERA_INTRINSICS, REAL_INTRINSICS
+
+        for cam_k in (CAMERA_INTRINSICS, REAL_INTRINSICS):
+            for trial in range(10):
+                o = int(rng.integers(16, 200))
+                depth = (rng.integers(0, 4000, (o, o))
+                         * (rng.random((o, o)) > 0.4)).astype(np.float32)
+                mask = (rng.random((o, o)) > 0.5).astype(np.float32)
+                coord = np.stack([
+                    rng.integers(0, 640, (o, o)).astype(np.float32),
+                    rng.integers(0, 480, (o, o)).astype(np.float32)])
+                got = npp.backproject(depth, cam_k, coord, mask)
+                # the numpy reference (fallback body of host_depth_to_pcl)
+                fx, fy = cam_k[0, 0], cam_k[1, 1]
+                cx, cy = cam_k[0, 2], cam_k[1, 2]
+                d = depth.reshape(-1).astype(np.float64)
+                valid = ((d > 0) * mask.reshape(-1)) > 0
+                d = d[valid]
+                xm = coord[0].reshape(-1)[valid]
+                ym = coord[1].reshape(-1)[valid]
+                want = np.stack(((xm - cx) * d / fx, (ym - cy) * d / fy, d),
+                                axis=-1).astype(np.float32)
+                assert got.shape == want.shape
+                np.testing.assert_array_equal(got, want)
+
+    def test_empty(self):
+        got = npp.backproject(np.zeros((8, 8), np.float32),
+                              np.eye(3, dtype=np.float32),
+                              np.zeros((2, 8, 8), np.float32),
+                              np.ones((8, 8), np.float32))
+        assert got.shape == (0, 3)
