@@ -49,20 +49,23 @@ def batched_pose_inference(cfg: HSPoseConfig, model, params, batch_stats,
     from hspose_tpu.parallel.mesh import (
         batch_sharding,
         make_mesh,
-        replicate_state,
+        shard_state,
     )
 
     B = cfg.eval.eval_batch
     n_pts = cfg.data.num_points
 
-    # shard crop batches over the data-parallel mesh (multi-chip serving path;
-    # a 1-device mesh degenerates to the plain single-chip case)
+    # shard crop batches over the data-parallel mesh axis (multi-chip serving
+    # path; a 1-device mesh degenerates to the plain single-chip case).  With
+    # parallel.mp > 1 the mesh is 2-D and the Dense head channels additionally
+    # tensor-shard over the mp axis (parallel/mesh.py::state_sharding).
     n_dev = len(jax.devices())
-    dp = cfg.parallel.dp if cfg.parallel.dp > 0 else n_dev
+    mp = max(cfg.parallel.mp, 1)
+    dp = cfg.parallel.dp if cfg.parallel.dp > 0 else n_dev // mp
     while B % dp != 0:
         dp -= 1
-    mesh = make_mesh(ParallelConfig(dp=dp), jax.devices()[:dp])
-    params, batch_stats = replicate_state(mesh, (params, batch_stats))
+    mesh = make_mesh(ParallelConfig(dp=dp, mp=mp), jax.devices()[:dp * mp])
+    params, batch_stats = shard_state(mesh, (params, batch_stats))
     crop_sharding = batch_sharding(mesh)
 
     records = iter(image_records)

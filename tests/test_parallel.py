@@ -229,3 +229,44 @@ def test_2d_mesh_tp_train_step_matches_single_device(rng):
     lb = jax.tree_util.tree_leaves(jax.device_get(state_b.params))
     for a, b in zip(la, lb):
         np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_2d_mesh_eval_inference_matches_single_device(rng):
+    """Eval inference on a dp=2 x mp=2 mesh (heads tensor-sharded) must match
+    the single-device numerics."""
+    from hspose_tpu.evaluation.evaluate import batched_pose_inference
+    from hspose_tpu.models.hspose import build_model
+
+    n_pts = 128
+    cfg = default_config()
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, num_points=n_pts),
+        eval=dataclasses.replace(cfg.eval, eval_batch=8),
+    )
+    model = build_model(cfg)
+    variables = model.init(
+        {"params": jax.random.key(0), "pool": jax.random.key(1),
+         "dropout": jax.random.key(2)},
+        np.zeros((2, n_pts, 3), np.float32), np.zeros((2,), np.int32), True)
+
+    def record(n_inst, seed):
+        r = np.random.default_rng(seed)
+        data = {
+            "pcl_in": r.normal(scale=0.2, size=(n_inst, n_pts, 3)).astype(np.float32),
+            "cat_id_0base": (np.arange(n_inst) % 6).astype(np.int32),
+            "sym_info": np.tile(np.array([[0, 1, 0, 0]], np.float32), (n_inst, 1)),
+            "mean_shape": np.abs(r.normal(size=(n_inst, 3))).astype(np.float32) * 0.1,
+        }
+        return (data, {}, {})
+
+    cfg_dp1 = cfg.replace(parallel=dataclasses.replace(cfg.parallel, dp=1))
+    preds_a, _ = batched_pose_inference(cfg_dp1, model, variables["params"],
+                                        variables["batch_stats"],
+                                        [record(3, 1), record(5, 2)], 0)
+    cfg_2d = cfg.replace(parallel=dataclasses.replace(cfg.parallel, dp=2, mp=2))
+    preds_b, _ = batched_pose_inference(cfg_2d, model, variables["params"],
+                                        variables["batch_stats"],
+                                        [record(3, 1), record(5, 2)], 0)
+    for a, b in zip(preds_a, preds_b):
+        np.testing.assert_allclose(a["pred_RTs"], b["pred_RTs"], atol=1e-5)
+        np.testing.assert_allclose(a["pred_scales"], b["pred_scales"], atol=1e-6)
