@@ -964,7 +964,12 @@ def hs_support_fused(feature_map: jnp.ndarray, vertices: jnp.ndarray,
     if tq <= 0:
         # swept at B=256 (docs/PERFORMANCE.md): exact tiles want more VMEM per
         # row (split parts + bf16x3 temporaries), fast prefers 128 at large N
-        tq = 64 if (exact or feature_map.shape[1] < 512) else 128
+        # re-swept after slot pairing (docs/PERFORMANCE.md): exact tiles want
+        # the most VMEM headroom per row (split parts + bf16x3 temporaries)
+        if exact:
+            tq = 32 if feature_map.shape[1] < 512 else 64
+        else:
+            tq = 64 if feature_map.shape[1] < 512 else 128
     fn = _support_diff_fn(support_num, out_channel, tq, exact, interpret)
     return fn(feature_map, vertices, idx, weights, bias, dirs)
 
@@ -978,7 +983,7 @@ def hs_surface_fused(vertices: jnp.ndarray, idx: jnp.ndarray, dirs: jnp.ndarray,
     """Fused surface-layer reduction: vertices (B, N, 3), idx (B, N, K),
     dirs (3, S·Co) -> (B, N, Co) f32 theta-only reduction.  Differentiable."""
     if tq <= 0:
-        tq = 128 if exact else 256  # swept at B=256
+        tq = 64 if exact else 128  # re-swept after slot pairing at B=256
     fn = _surface_diff_fn(support_num, out_channel, tq, exact, interpret)
     return fn(vertices, idx, dirs)
 
