@@ -193,6 +193,9 @@ def main():
     # parity/training-trust configuration
     exact_crops_per_sec = measure_inference(cfg, B=B, iters=10)
     train_step_ms = measure_train_step(cfg)
+    # bf16 mixed-precision training (f32 params/losses/Ranger; sanity-verified
+    # — docs/PERFORMANCE.md): the large-scale option, f32 stays the default
+    train_step_bf16_ms = measure_train_step(cfg_fast)
 
     mfu = crops_per_sec * model_flops_per_crop(n) / V5E_BF16_PEAK_FLOPS
     print(json.dumps({
@@ -204,6 +207,7 @@ def main():
         "flops_per_crop": round(model_flops_per_crop(n) / 1e9, 2),
         "exact_crops_per_sec": round(exact_crops_per_sec, 1),
         "train_step_ms": round(train_step_ms, 1),
+        "train_step_bf16_ms": round(train_step_bf16_ms, 1),
         "baseline_basis": "inferred 200 crops/s on the reference's RTX 3090",
     }))
 
