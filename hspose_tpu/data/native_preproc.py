@@ -39,13 +39,25 @@ _f64p = ctypes.POINTER(ctypes.c_double)
 
 
 def _build() -> bool:
+    # Compile to a private temp file and os.replace() it into place: loader
+    # worker PROCESSES share _LIB's path and the in-process _lock cannot
+    # serialize them, but rename is atomic so a concurrent reader either sees
+    # the old complete .so or the new complete .so — never a torn write.
+    import tempfile
     os.makedirs(os.path.dirname(_LIB), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(suffix=".so", dir=os.path.dirname(_LIB))
+    os.close(fd)
     try:
-        subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC,
+        subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC,
                         "-lpng", "-lz", "-lpthread"],
                        check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 

@@ -57,9 +57,16 @@ def train(cfg: HSPoseConfig):
     # the data axis must divide the batch: use the largest qualifying mesh
     n_dev = len(jax.devices())
     mp = max(cfg.parallel.mp, 1)
+    if mp > n_dev:
+        raise ValueError(
+            f"parallel.mp={mp} exceeds the {n_dev} available device(s)")
     dp = cfg.parallel.dp if cfg.parallel.dp > 0 else n_dev // mp
     while cfg.train.batch_size % dp != 0:
         dp -= 1
+    if dp * mp < n_dev:
+        logger.warning(
+            "mesh shrunk to dp=%d x mp=%d (batch %d not divisible): %d of %d "
+            "devices will sit idle", dp, mp, cfg.train.batch_size, dp * mp, n_dev)
     mesh = make_mesh(dataclasses.replace(cfg.parallel, dp=dp))
     logger.info("device mesh: %s", mesh)
     # place params/opt state on the mesh: replicated for pure DP, Dense output
