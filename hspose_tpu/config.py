@@ -10,6 +10,7 @@ dataclass tree: values are threaded explicitly, train/eval is a call-time argume
 from __future__ import annotations
 
 import dataclasses
+import os
 from dataclasses import dataclass, field
 from typing import Optional, Tuple
 
@@ -87,6 +88,11 @@ class ModelConfig:
     # one bf16 MXU pass per matmul (~13 ms/step faster; bf16-grade gradient
     # noise, sanity-verified); True keeps bf16x3 f32-faithful gradients
     bwd_exact: bool = False
+    # debugging knob: route f32 TPU *inference* through the v3 pre-gathered
+    # kernels (0-ULP HIGHEST gathers) instead of the default v4 fused kernels,
+    # restoring bitwise reproducibility against pre-round-3 f32 eval outputs.
+    # ~1-ulp-grade difference only; mAP-level results are identical.
+    infer_v3: bool = False
 
 
 @dataclass(frozen=True)
@@ -194,6 +200,12 @@ class EvalConfig:
     # fused jitted backprojection+sampling on-chip (frees host cores for PNG
     # decode + warps)
     sample_mode: str = "host"
+    # produce per-detection reconstruction metrics (chamfer_dis_cass /
+    # emd_dis_cass, the eval_recon interface of eval_utils_v1.py:672-707):
+    # runs the recon head in eval mode and measures chamfer + Sinkhorn-EMD
+    # between the reconstructed cloud and the observed points.  Requires an
+    # unpruned (training) checkpoint — the recon head must be present.
+    recon: bool = False
 
 
 @dataclass(frozen=True)
@@ -273,6 +285,14 @@ def parse_overrides(argv, cfg: Optional[HSPoseConfig] = None) -> HSPoseConfig:
     ``--help``/``-h`` prints the full flag listing and exits, like the
     reference's absl CLI.
     """
+    # honour HSPOSE_PLATFORM before any backend initializes (the axon TPU
+    # plugin pins jax_platforms and ignores the standard JAX_PLATFORMS env
+    # var): lets scripts and subprocess tests force e.g. cpu for CLI runs
+    platform = os.environ.get("HSPOSE_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
     cfg = cfg or default_config()
     for arg in argv:
         arg = arg.lstrip("-")

@@ -84,3 +84,57 @@ def test_config_cli_overrides():
     assert cfg.data.dataset == "CAMERA"
     assert cfg.optim.lr == 0.001
     assert cfg.eval.eval_inference_only is True
+
+
+@pytest.mark.slow
+def test_repro_real275_runbook(data_cfg, tmp_path):
+    """scripts/repro_real275.sh end-to-end on the synthetic tree + a fake
+    reference-format torch checkpoint: the data-arrival-only runbook for the
+    published REAL275 table (reference README.md:96-104).  Exercises argument
+    validation, the .pth conversion bridge, the streamed evaluator, and the
+    table extraction."""
+    import subprocess
+    import sys
+
+    REF = "/root/reference"
+    if not os.path.isdir(REF):
+        pytest.skip("reference checkout not available")
+    sys.path.insert(0, REF)
+    import torch
+    import absl.flags as aflags
+
+    if not aflags.FLAGS.is_parsed():
+        import config.config  # noqa: F401
+        aflags.FLAGS(["test"])
+    aflags.FLAGS.train = 0
+    from network.fs_net_repo.PoseNet9D import PoseNet9D as TorchPoseNet
+
+    torch.manual_seed(3)
+    tmodel = TorchPoseNet().eval()
+    sd = {f"posenet.{k}": v for k, v in tmodel.state_dict().items()}
+    ckpt_path = str(tmp_path / "model.pth")
+    torch.save({"posenet_state_dict": sd, "seed": 1, "epoch": 0}, ckpt_path)
+
+    script = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                          "scripts", "repro_real275.sh")
+    out_dir = str(tmp_path / "repro_out")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["HSPOSE_PLATFORM"] = "cpu"  # CLI subprocess: no conftest to force cpu
+    proc = subprocess.run(
+        ["bash", script, data_cfg.dataset_dir, data_cfg.detection_dir,
+         ckpt_path, out_dir, "data.num_points=128", "eval.eval_batch=4",
+         "data.num_workers=0", "eval.eval_seed=2"],
+        capture_output=True, text=True, timeout=900, env=env)
+    assert proc.returncode == 0, proc.stdout + "\n" + proc.stderr
+    assert "3D IoU at 50" in proc.stdout, proc.stdout
+    assert os.path.exists(os.path.join(out_dir, "log_eval.txt"))
+    eval_dirs = [d for d in os.listdir(out_dir) if d.startswith("eval_result")]
+    assert eval_dirs and os.path.exists(
+        os.path.join(out_dir, eval_dirs[0], "pred_result.pkl"))
+
+    # arg validation: missing tree fails fast with a pointer to docs
+    bad = subprocess.run(["bash", script, str(tmp_path / "nope"),
+                          data_cfg.detection_dir, ckpt_path],
+                         capture_output=True, text=True, timeout=60, env=env)
+    assert bad.returncode != 0 and "docs/DATA.md" in bad.stderr
