@@ -61,9 +61,17 @@ def batched_pose_inference(cfg: HSPoseConfig, model, params, batch_stats,
     # tensor-shard over the mp axis (parallel/mesh.py::state_sharding).
     n_dev = len(jax.devices())
     mp = max(cfg.parallel.mp, 1)
+    if mp > n_dev:
+        raise ValueError(
+            f"parallel.mp={mp} exceeds the {n_dev} available device(s)")
     dp = cfg.parallel.dp if cfg.parallel.dp > 0 else n_dev // mp
     while B % dp != 0:
         dp -= 1
+    if dp * mp < n_dev:
+        import logging
+        logging.getLogger("eval_log").warning(
+            "mesh shrunk to dp=%d x mp=%d (eval_batch %d not divisible): "
+            "%d of %d devices will sit idle", dp, mp, B, dp * mp, n_dev)
     mesh = make_mesh(ParallelConfig(dp=dp, mp=mp), jax.devices()[:dp * mp])
     params, batch_stats = shard_state(mesh, (params, batch_stats))
     crop_sharding = batch_sharding(mesh)
@@ -104,6 +112,9 @@ def batched_pose_inference(cfg: HSPoseConfig, model, params, batch_stats,
                 detection_dict[k] = gts[k]
         detection_dict["pred_RTs"] = np.zeros((n, 4, 4))
         detection_dict["pred_scales"] = np.zeros((n, 3))
+        if cfg.eval.recon:
+            detection_dict["chamfer_dis_cass"] = np.zeros(n)
+            detection_dict["emd_dis_cass"] = np.zeros(n)
         pred_results.append(detection_dict)
         for j in range(n):
             for k in crop_keys:
@@ -114,14 +125,19 @@ def batched_pose_inference(cfg: HSPoseConfig, model, params, batch_stats,
             owners.append((rec_idx, j))
 
     def land(flight):
-        RT_dev, sc_dev, flight_owners, n_valid = flight
+        outs, flight_owners, n_valid = flight
         # np.asarray is the synchronization point (block_until_ready does not
         # await on the tunneled axon backend)
-        RT = np.asarray(RT_dev)
-        sc = np.asarray(sc_dev)
+        RT = np.asarray(outs[0])
+        sc = np.asarray(outs[1])
+        cmf = np.asarray(outs[2]) if len(outs) > 2 else None
+        emd = np.asarray(outs[3]) if len(outs) > 3 else None
         for i, (rec_idx, j) in enumerate(flight_owners[:n_valid]):
             pred_results[rec_idx]["pred_RTs"][j] = RT[i]
             pred_results[rec_idx]["pred_scales"][j] = sc[i]
+            if cmf is not None:
+                pred_results[rec_idx]["chamfer_dis_cass"][j] = cmf[i]
+                pred_results[rec_idx]["emd_dis_cass"][j] = emd[i]
         state["fetched"] += n_valid
         if state["t_start"] is None:
             # exclude the first (compile) batch from throughput timing
@@ -139,14 +155,14 @@ def batched_pose_inference(cfg: HSPoseConfig, model, params, batch_stats,
         for k in crop_keys:
             del buf[k][:n_valid]
         del ids[:n_valid], syms[:n_valid], means[:n_valid], owners[:n_valid]
-        RT, scales = forward_fn(
+        outs = forward_fn(
             {k: jax.device_put(v, crop_sharding) for k, v in crop.items()},
             jax.device_put(obj_id, crop_sharding),
             jax.device_put(sym, crop_sharding),
             jax.device_put(mean, crop_sharding),
             jax.random.fold_in(key, batch_no))
         batch_no += 1
-        prev, in_flight = in_flight, (RT, scales, flight_owners, n_valid)
+        prev, in_flight = in_flight, (outs, flight_owners, n_valid)
         if prev is not None:
             land(prev)
 
@@ -173,6 +189,22 @@ def _build_forward(cfg, model, params, batch_stats, device_mode: bool,
     from hspose_tpu.geometry.rotations import generate_RT
     from hspose_tpu.models.hspose import eval_forward
 
+    with_recon = cfg.eval.recon
+
+    def recon_metrics(out, pc):
+        """Per-instance chamfer + Sinkhorn-EMD between the reconstructed cloud
+        and the observed points (the eval_recon producers)."""
+        from hspose_tpu.ops.chamfer import chamfer_distance
+        from hspose_tpu.ops.emd import emd_distance
+
+        recon = out.recon.astype(jnp.float32)
+        da, db = chamfer_distance(recon, pc)
+        cmf = jnp.mean(da, axis=-1) + jnp.mean(db, axis=-1)  # (B,)
+        emd = emd_distance(recon, pc, epsilon=0.02, iters=50)
+        return cmf, emd
+
+    import jax.numpy as jnp
+
     if device_mode:
         from hspose_tpu.data.preprocess import roi_to_pointcloud
 
@@ -180,17 +212,23 @@ def _build_forward(cfg, model, params, batch_stats, device_mode: bool,
         def forward(crop, obj_id, sym, mean_shape, key):
             pc, _ = roi_to_pointcloud(key, crop["roi_depth"], crop["roi_mask"],
                                       crop["roi_coord"], crop["cam_k"], n_pts)
-            out = eval_forward(model, params, batch_stats, key, pc, obj_id)
+            out = eval_forward(model, params, batch_stats, key, pc, obj_id,
+                               with_heads=with_recon)
             RT = generate_RT(out.p_green_R, out.p_red_R, out.f_green_R,
                              out.f_red_R, out.pred_T, sym)
+            if with_recon:
+                return RT, out.pred_s + mean_shape, *recon_metrics(out, pc)
             return RT, out.pred_s + mean_shape
     else:
         @jax.jit
         def forward(crop, obj_id, sym, mean_shape, key):
             out = eval_forward(model, params, batch_stats, key, crop["pcl_in"],
-                               obj_id)
+                               obj_id, with_heads=with_recon)
             RT = generate_RT(out.p_green_R, out.p_red_R, out.f_green_R,
                              out.f_red_R, out.pred_T, sym)
+            if with_recon:
+                return RT, out.pred_s + mean_shape, *recon_metrics(
+                    out, crop["pcl_in"])
             return RT, out.pred_s + mean_shape
 
     return forward
@@ -301,7 +339,11 @@ def evaluate(cfg: HSPoseConfig) -> Dict[str, float]:
     iou_aps, pose_aps = compute_degree_cm_mAP(
         pred_results, SYNSET_NAMES, output_path, degree_thres_list,
         shift_thres_list, iou_thres_list, iou_pose_thres=0.1,
-        use_matches_for_pose=True, plot_figure=True)
+        use_matches_for_pose=True, plot_figure=True, eval_recon=cfg.eval.recon)
+    if cfg.eval.recon:
+        from hspose_tpu.evaluation.metrics import aggregate_recon_metrics
+        recon_stats = aggregate_recon_metrics(pred_results, SYNSET_NAMES)
+        logger.info("recon metrics (eval_recon): %s", recon_stats)
 
     full_deg = degree_thres_list + [360]
     full_shift = shift_thres_list + [100]

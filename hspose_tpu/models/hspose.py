@@ -130,8 +130,12 @@ def train_forward(cfg: HSPoseConfig, model: PoseNet9D, params, batch_stats,
 
 
 def eval_forward(model: PoseNet9D, params, batch_stats, pool_key: jax.Array,
-                 pc: jnp.ndarray, obj_id: jnp.ndarray) -> PoseNetOutput:
-    """Inference forward (no train heads, running BN stats, keyed pooling)."""
+                 pc: jnp.ndarray, obj_id: jnp.ndarray,
+                 with_heads: bool = False) -> PoseNetOutput:
+    """Inference forward (no train heads, running BN stats, keyed pooling).
+
+    ``with_heads=True`` additionally runs the recon/face heads deterministically
+    (the ``eval_recon`` producer) — needs an unpruned training checkpoint."""
     variables = {"params": params, "batch_stats": batch_stats}
     return model.apply(variables, pc, obj_id.astype(jnp.int32), False,
-                       rngs={"pool": pool_key})
+                       with_heads, rngs={"pool": pool_key})

@@ -83,6 +83,7 @@ class HSLayerSurface(nn.Module):
     dtype: jnp.dtype = jnp.float32
     support_scan: bool = True
     bwd_exact: bool = False
+    infer_v3: bool = False  # debug: v3 pre-gathered kernels for f32 inference
 
     @nn.compact
     def __call__(self, vertices: jnp.ndarray, rf_idx: jnp.ndarray,
@@ -102,7 +103,7 @@ class HSLayerSurface(nn.Module):
         dir_norm = dir_norm.astype(self.dtype)
 
         on_tpu = jax.devices()[0].platform == "tpu"
-        if self.support_scan and on_tpu and not train:
+        if self.support_scan and on_tpu and not train and not self.infer_v3:
             # inference: fully-fused v4 kernel (in-kernel gather + rf), no HBM
             # round-trip of any (B,K,N,·) tensor; exact (split-gather + bf16x3)
             # when the compute dtype is f32, one-pass bf16 in fast mode
@@ -146,7 +147,8 @@ class HSLayerSurface(nn.Module):
 
         # ORL (gcn3d.py:109-113)
         f_global = orl_global(feature.astype(self.dtype), orl_idx,
-                              fast=self.dtype == jnp.bfloat16, train=train)
+                              fast=self.dtype == jnp.bfloat16,
+                              train=train or self.infer_v3)
         fused = jnp.concatenate(
             [feature.astype(self.dtype),
              jnp.broadcast_to(f_global, feature.shape[:2] + f_global.shape[-1:])],
@@ -169,6 +171,7 @@ class HSLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     support_scan: bool = True
     bwd_exact: bool = False
+    infer_v3: bool = False  # debug: v3 pre-gathered kernels for f32 inference
 
     @nn.compact
     def __call__(self, vertices: jnp.ndarray, feature_map: jnp.ndarray,
@@ -192,7 +195,7 @@ class HSLayer(nn.Module):
         dir_norm = dir_norm.astype(self.dtype)
 
         on_tpu = jax.devices()[0].platform == "tpu"
-        if self.support_scan and on_tpu and not train:
+        if self.support_scan and on_tpu and not train and not self.infer_v3:
             # inference: fully-fused v4 kernel (in-kernel gather + rf); exact
             # split-gather + bf16x3 when f32, one-pass bf16 in fast mode
             from hspose_tpu.ops.pallas_hs_fused import hs_support_fused
@@ -268,7 +271,8 @@ class HSLayer(nn.Module):
 
         # ORL (gcn3d.py:183-187)
         f_global = orl_global(feature.astype(self.dtype), orl_idx,
-                              fast=self.dtype == jnp.bfloat16, train=train)
+                              fast=self.dtype == jnp.bfloat16,
+                              train=train or self.infer_v3)
         fused = jnp.concatenate(
             [feature.astype(self.dtype),
              jnp.broadcast_to(f_global, feature.shape[:2] + f_global.shape[-1:])],

@@ -39,13 +39,14 @@ class PoseNet9D(nn.Module):
 
     @nn.compact
     def __call__(self, points: jnp.ndarray, obj_id: jnp.ndarray,
-                 train: bool) -> PoseNetOutput:
+                 train: bool, with_heads: bool = False) -> PoseNetOutput:
         center = jnp.mean(points, axis=1, keepdims=True)
         centred = points - center
 
-        recon, face, feat = FaceRecon(self.cfg, name="face_recon")(centred, obj_id, train)
+        recon, face, feat = FaceRecon(self.cfg, name="face_recon")(
+            centred, obj_id, train, with_heads)
 
-        if train:
+        if train or with_heads:
             B, N = points.shape[:2]
             recon = recon + center
             face_normal = face[..., :18].reshape(B, N, 6, 3)

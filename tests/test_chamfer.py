@@ -5,9 +5,11 @@ import pytest
 
 from hspose_tpu.ops.chamfer import (
     chamfer_distance,
+    chamfer_distance_kernel,
     chamfer_distance_pallas,
     chamfer_loss,
 )
+from hspose_tpu.ops.emd import emd_distance
 
 
 def _brute_chamfer(a, b):
@@ -70,3 +72,74 @@ class TestChamferPallas:
         ea, eb = chamfer_distance(jnp.asarray(a), jnp.asarray(b))
         np.testing.assert_allclose(np.asarray(da), np.asarray(ea), atol=1e-4)
         np.testing.assert_allclose(np.asarray(db), np.asarray(eb), atol=1e-4)
+
+
+class TestChamferKernelVJP:
+    """The fully-Pallas op (forward with argmin + fused backward kernel),
+    the kernel-for-kernel match of chamfer_distance.cu:6-187."""
+
+    def test_forward_matches_xla(self, rng):
+        a = rng.normal(size=(2, 128, 3)).astype(np.float32)
+        b = rng.normal(size=(2, 64, 3)).astype(np.float32)
+        da, db = chamfer_distance_kernel(jnp.asarray(a), jnp.asarray(b), True)
+        ea, eb = chamfer_distance(jnp.asarray(a), jnp.asarray(b))
+        np.testing.assert_allclose(np.asarray(da), np.asarray(ea), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(db), np.asarray(eb), atol=1e-4)
+
+    def test_backward_kernel_matches_xla_vjp(self, rng):
+        a = jnp.asarray(rng.normal(size=(2, 64, 3)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(2, 32, 3)).astype(np.float32))
+        gda = jnp.asarray(rng.normal(size=(2, 64)).astype(np.float32))
+        gdb = jnp.asarray(rng.normal(size=(2, 32)).astype(np.float32))
+
+        _, vjp_k = jax.vjp(lambda x, y: chamfer_distance_kernel(x, y, True), a, b)
+        _, vjp_x = jax.vjp(chamfer_distance, a, b)
+        ga_k, gb_k = vjp_k((gda, gdb))
+        ga_x, gb_x = vjp_x((gda, gdb))
+        np.testing.assert_allclose(np.asarray(ga_k), np.asarray(ga_x), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gb_k), np.asarray(gb_x), atol=1e-4)
+
+    def test_loss_grad_finite_difference(self, rng):
+        a = rng.normal(size=(1, 16, 3)).astype(np.float32)
+        b = rng.normal(size=(1, 8, 3)).astype(np.float32)
+
+        def f(a_):
+            da, db = chamfer_distance_kernel(a_, jnp.asarray(b), True)
+            return jnp.mean(da) + jnp.mean(db)
+
+        g = jax.grad(f)(jnp.asarray(a))
+        eps = 1e-3
+        for idx in [(0, 0, 0), (0, 7, 1), (0, 15, 2)]:
+            ap = a.copy(); ap[idx] += eps
+            am = a.copy(); am[idx] -= eps
+            fd = (float(f(jnp.asarray(ap))) - float(f(jnp.asarray(am)))) / (2 * eps)
+            np.testing.assert_allclose(float(g[idx]), fd, rtol=2e-2, atol=1e-4)
+
+
+class TestEMD:
+    def test_matches_exact_assignment(self, rng):
+        from scipy.optimize import linear_sum_assignment
+
+        a = rng.normal(size=(2, 32, 3)).astype(np.float32)
+        b = rng.normal(size=(2, 32, 3)).astype(np.float32)
+        approx = np.asarray(emd_distance(jnp.asarray(a), jnp.asarray(b),
+                                         epsilon=0.005, iters=500))
+        for i in range(2):
+            C = np.linalg.norm(a[i][:, None] - b[i][None], axis=-1)
+            r, c = linear_sum_assignment(C)
+            exact = C[r, c].mean()
+            np.testing.assert_allclose(approx[i], exact, rtol=5e-3)
+
+    def test_zero_for_identical_clouds(self, rng):
+        a = rng.normal(size=(1, 24, 3)).astype(np.float32)
+        d = np.asarray(emd_distance(jnp.asarray(a), jnp.asarray(a),
+                                    epsilon=0.005, iters=500))
+        np.testing.assert_allclose(d, 0.0, atol=1e-5)
+
+    def test_translation_sensitivity(self, rng):
+        # EMD of a cloud vs its translate is exactly the translation norm
+        a = rng.normal(size=(1, 32, 3)).astype(np.float32)
+        shift = np.array([0.5, 0.0, 0.0], np.float32)
+        d = float(emd_distance(jnp.asarray(a), jnp.asarray(a + shift),
+                               epsilon=0.005, iters=500)[0])
+        np.testing.assert_allclose(d, 0.5, rtol=2e-2)

@@ -62,6 +62,47 @@ class TestEvalHarness:
         assert np.all((iou_aps >= 0) | np.isnan(iou_aps))
 
 
+class TestEvalRecon:
+    def test_recon_metrics_produced(self, small_cfg, tmp_path):
+        """eval.recon=true wires chamfer_dis_cass / emd_dis_cass end-to-end
+        (the eval_recon producer the reference never shipped,
+        eval_utils_v1.py:672-707)."""
+        import jax
+        import jax.numpy as jnp
+        from hspose_tpu.evaluation.evaluate import (
+            batched_pose_inference,
+            load_eval_images,
+        )
+        from hspose_tpu.evaluation.metrics import aggregate_recon_metrics
+        from hspose_tpu.geometry.symmetry import SYNSET_NAMES
+        from hspose_tpu.models.hspose import build_model
+
+        cfg = small_cfg.replace(
+            eval=dataclasses.replace(small_cfg.eval, eval_batch=4, recon=True))
+        records = load_eval_images(cfg, seed=0, num_workers=2)
+
+        model = build_model(cfg)
+        variables = model.init(
+            {"params": jax.random.key(0), "pool": jax.random.key(1),
+             "dropout": jax.random.key(2)},
+            jnp.zeros((1, 128, 3), jnp.float32), jnp.zeros((1,), jnp.int32), True)
+
+        pred_results, _ = batched_pose_inference(
+            cfg, model, variables["params"], variables["batch_stats"], records, 0)
+        det = pred_results[0]
+        assert det["chamfer_dis_cass"].shape == (2,)
+        assert det["emd_dis_cass"].shape == (2,)
+        # untrained recon vs observed cloud: finite, strictly positive
+        assert np.all(np.isfinite(det["chamfer_dis_cass"]))
+        assert np.all(det["chamfer_dis_cass"] > 0)
+        assert np.all(np.isfinite(det["emd_dis_cass"]))
+        assert np.all(det["emd_dis_cass"] > 0)
+
+        stats = aggregate_recon_metrics(pred_results, SYNSET_NAMES)
+        assert "mean" in stats["cmf"] and stats["cmf"]["mean"] > 0
+        assert "mean" in stats["emd"] and stats["emd"]["mean"] > 0
+
+
 class TestTrainingReducesLoss:
     def test_loss_decreases_on_fixed_batch(self, rng):
         import jax
