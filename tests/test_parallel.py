@@ -270,3 +270,51 @@ def test_2d_mesh_eval_inference_matches_single_device(rng):
     for a, b in zip(preds_a, preds_b):
         np.testing.assert_allclose(a["pred_RTs"], b["pred_RTs"], atol=1e-5)
         np.testing.assert_allclose(a["pred_scales"], b["pred_scales"], atol=1e-6)
+
+
+def test_cross_mesh_shape_resume(rng, tmp_path):
+    """Pod-resize resume: a checkpoint saved from a dp=8-sharded run restores
+    onto dp=4 and dp=1 meshes and continues with identical numerics.
+
+    This exercises the ``shard_state(mesh, jax.device_get(state))`` host
+    round-trip in engine/train.py — checkpoints are topology-free host trees,
+    so any mesh shape can adopt them."""
+    from hspose_tpu.engine.checkpoint import restore_checkpoint, save_checkpoint
+    from hspose_tpu.engine.train_step import build_train_step
+    from hspose_tpu.models.hspose import build_model
+    from hspose_tpu.parallel.mesh import shard_state
+    from test_checkpoint import _fake_batch
+
+    cfg = default_config()
+    cfg = cfg.replace(data=dataclasses.replace(cfg.data, num_points=128))
+    model = build_model(cfg)
+    tx, state0, train_step = build_train_step(cfg, model, jax.random.key(0))
+    host_state0 = jax.device_get(state0)
+
+    batch_np = _fake_batch(rng, 8, 128)
+    key1, key2 = jax.random.key(5), jax.random.key(7)
+
+    # --- uninterrupted dp=8 run: step 1, checkpoint, step 2 ------------------
+    mesh8 = make_mesh(ParallelConfig(dp=8))
+    state = shard_state(mesh8, host_state0)
+    state, _ = train_step(state, shard_batch(mesh8, batch_np), key1)
+    ckpt_path = save_checkpoint(str(tmp_path / "resize"), jax.device_get(state),
+                                epoch=0, seed=0)
+    state_ref, metrics_ref = train_step(state, shard_batch(mesh8, batch_np), key2)
+    loss_ref = float(metrics_ref["total_loss"])
+    params_ref = jax.tree_util.tree_leaves(jax.device_get(state_ref.params))
+
+    for dp in (4, 1):
+        mesh = make_mesh(ParallelConfig(dp=dp), jax.devices()[:dp])
+        # restore into a fresh host-side template, then commit to the new mesh
+        template = jax.device_get(build_train_step(cfg, model, jax.random.key(0))[1])
+        restored, epoch, seed = restore_checkpoint(ckpt_path, template)
+        assert (epoch, seed) == (0, 0)
+        restored = shard_state(mesh, jax.device_get(restored))
+        state_r, metrics_r = train_step(restored, shard_batch(mesh, batch_np),
+                                        key2)
+        np.testing.assert_allclose(float(metrics_r["total_loss"]), loss_ref,
+                                   rtol=1e-5, err_msg=f"dp={dp}")
+        for a, b in zip(params_ref,
+                        jax.tree_util.tree_leaves(jax.device_get(state_r.params))):
+            np.testing.assert_allclose(a, b, atol=1e-5)
