@@ -136,15 +136,28 @@ def measure_inference(cfg, B: int = 256, iters: int = 30) -> float:
     return best
 
 
-def measure_train_step(cfg, iters: int = 15) -> float:
-    """Full reference-recipe train step (batch 16, aug + 4 loss families +
-    Ranger), ms/step."""
+def train_flops_per_sample(n: int = 1028) -> float:
+    """Analytic matmul FLOPs of one *training* sample: 3x the eval forward
+    (fwd + ~2x bwd) plus 3x the train-only recon/face heads (FaceRecon.py:37-68)
+    eval never runs.  Derivation in scripts/train_batch_sweep.py."""
+    head = 2 * n * (1286 * 512 + 512 * 512 + 512 * 256)
+    head += 2 * n * (256 * 128 + 128 * 3)
+    head += 2 * n * (771 * 512 + 512 * 256 + 256 * 128 + 128 * 30)
+    return 3.0 * (model_flops_per_crop(n) + head)
+
+
+def measure_train_step(cfg, iters: int = 15, batch_size: int | None = None) -> float:
+    """Full train step (aug + 4 loss families + Ranger), ms/step, at
+    ``batch_size`` (default: the config's reference-recipe batch 16)."""
     import jax
     import jax.numpy as jnp
 
     from hspose_tpu.engine.train_step import build_train_step
     from hspose_tpu.models.hspose import build_model
 
+    if batch_size is not None:
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train,
+                                                    batch_size=batch_size))
     model = build_model(cfg)
     tx, state, train_step = build_train_step(cfg, model, jax.random.key(0))
     rng = np.random.default_rng(0)
@@ -205,6 +218,16 @@ def main():
     # bf16 mixed-precision training (f32 params/losses/Ranger; sanity-verified
     # — docs/PERFORMANCE.md): the large-scale option, f32 stays the default
     train_step_bf16_ms = measure_train_step(cfg_fast)
+    # throughput-optimal training configuration: bf16 batch 64 (sweep in
+    # scripts/train_batch_sweep.py / docs/PERFORMANCE.md — f32 is saturated at
+    # batch 16; bf16 peaks at 64 and declines by 256), sanity-verified at this
+    # batch via `scripts/train_sanity.py 2500 --batch 64 --bf16`
+    TRAIN_OPT_BATCH = 64
+    train_opt_ms = measure_train_step(cfg_fast, iters=10,
+                                      batch_size=TRAIN_OPT_BATCH)
+    train_samples_per_sec = TRAIN_OPT_BATCH / train_opt_ms * 1000
+    train_mfu = train_samples_per_sec * train_flops_per_sample(n) \
+        / V5E_BF16_PEAK_FLOPS
 
     mfu = crops_per_sec * model_flops_per_crop(n) / V5E_BF16_PEAK_FLOPS
     print(json.dumps({
@@ -217,6 +240,9 @@ def main():
         "exact_crops_per_sec": round(exact_crops_per_sec, 1),
         "train_step_ms": round(train_step_ms, 1),
         "train_step_bf16_ms": round(train_step_bf16_ms, 1),
+        "train_samples_per_sec": round(train_samples_per_sec, 1),
+        "train_mfu": round(train_mfu, 4),
+        "train_opt_batch": TRAIN_OPT_BATCH,
         "baseline_basis": "inferred 200 crops/s on the reference's RTX 3090",
     }))
 

@@ -93,7 +93,7 @@ def pose_errors(model, params, stats, batch, key):
     return float(np.mean(deg)), float(np.mean(cm)), float(s_err)
 
 
-def main(steps=300):
+def main(steps=300, batch_size=16, bf16=False):
     import dataclasses
 
     import jax
@@ -106,12 +106,20 @@ def main(steps=300):
     from hspose_tpu.models.hspose import build_model
 
     cfg = default_config()
-    cfg = cfg.replace(optim=dataclasses.replace(cfg.optim, warmup_iters=100, lr=3e-4))
+    # linear-scaled LR for larger batches (keeps the per-sample gradient
+    # contribution comparable across the sweep; sqrt scaling is the
+    # conservative alternative — linear passes sanity at batch 64)
+    lr = 3e-4 * batch_size / 16
+    cfg = cfg.replace(optim=dataclasses.replace(cfg.optim, warmup_iters=100,
+                                                lr=lr))
     if os.environ.get("HSPOSE_BWD_EXACT"):  # A/B knob for backward precision
         cfg = cfg.replace(model=dataclasses.replace(cfg.model, bwd_exact=True))
-    if os.environ.get("HSPOSE_COMPUTE_DTYPE"):  # A/B knob for bf16 training
+    if bf16 or os.environ.get("HSPOSE_COMPUTE_DTYPE"):  # A/B knob for bf16
         cfg = cfg.replace(model=dataclasses.replace(
-            cfg.model, compute_dtype=os.environ["HSPOSE_COMPUTE_DTYPE"]))
+            cfg.model,
+            compute_dtype=os.environ.get("HSPOSE_COMPUTE_DTYPE", "bfloat16")))
+    print(f"sanity config: steps={steps} batch={batch_size} lr={lr:.1e} "
+          f"dtype={cfg.model.compute_dtype}", flush=True)
     mean_shape = np.array([0.12, 0.18, 0.12], np.float32)
 
     model = build_model(cfg)
@@ -130,7 +138,8 @@ def main(steps=300):
     t0 = time.time()
     for i in range(steps):
         batch = {k: jnp.asarray(v) for k, v in
-                 make_batch(rng, 16, cfg.data.num_points, mean_shape).items()}
+                 make_batch(rng, batch_size, cfg.data.num_points,
+                            mean_shape).items()}
         state, metrics = train_step(state, batch, key)
         if i % 50 == 0:
             print(f"step {i}: loss {float(np.asarray(metrics['total_loss'])):.3f}",
@@ -147,6 +156,14 @@ def main(steps=300):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 300)
+    args = sys.argv[1:]
+    bf16 = "--bf16" in args
+    bs = 16
+    if "--batch" in args:
+        i = args.index("--batch")
+        bs = int(args[i + 1])
+        del args[i:i + 2]
+    args = [a for a in args if a != "--bf16"]
+    main(int(args[0]) if args else 300, batch_size=bs, bf16=bf16)
 # NB: RAdam's rectified step sizes stay tiny for the first ~1k steps; short runs
 # show rotation learning first while the residual T/s heads transiently drift.
