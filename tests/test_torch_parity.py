@@ -28,8 +28,12 @@ if os.path.isdir(REF):
 # 128 exercises the graph cheaply but degrades the pooled neighbour counts to
 # k=(20,20,4,4,1); 1028 is the production graph (k=20/20/20/20/8, pools
 # 1028→257→64, FaceRecon.py:92-97) — a weight-conversion bug that only
-# manifests at full size is caught there (VERDICT round-1 item 4).
-@pytest.mark.parametrize("N", [128, pytest.param(1028, marks=pytest.mark.slow)])
+# manifests at full size is caught there (VERDICT round-1 item 4).  2056 is
+# the beyond-reference scale point (pools 2056→514→128, k=20/20/20/20/16):
+# both networks derive pool/k sizes from runtime shapes, so the same converted
+# weights must agree there too (SURVEY §5.7 N-scaling).
+@pytest.mark.parametrize("N", [128, pytest.param(1028, marks=pytest.mark.slow),
+                               pytest.param(2056, marks=pytest.mark.slow)])
 def test_eval_forward_parity(rng, monkeypatch, N):
     import jax
     import jax.numpy as jnp
