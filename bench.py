@@ -221,7 +221,8 @@ def main():
     # throughput-optimal training configuration: bf16 batch 64 (sweep in
     # scripts/train_batch_sweep.py / docs/PERFORMANCE.md — f32 is saturated at
     # batch 16; bf16 peaks at 64 and declines by 256), sanity-verified at this
-    # batch via `scripts/train_sanity.py 2500 --batch 64 --bf16`
+    # batch via `scripts/train_sanity.py 2500 --batch 64 --bf16 --anneal`
+    # (rot 88.9->18.0 deg, beats the batch-16 flat baseline)
     TRAIN_OPT_BATCH = 64
     train_opt_ms = measure_train_step(cfg_fast, iters=10,
                                       batch_size=TRAIN_OPT_BATCH)

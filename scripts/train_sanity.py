@@ -93,7 +93,7 @@ def pose_errors(model, params, stats, batch, key):
     return float(np.mean(deg)), float(np.mean(cm)), float(s_err)
 
 
-def main(steps=300, batch_size=16, bf16=False):
+def main(steps=300, batch_size=16, bf16=False, anneal=False):
     import dataclasses
 
     import jax
@@ -106,12 +106,19 @@ def main(steps=300, batch_size=16, bf16=False):
     from hspose_tpu.models.hspose import build_model
 
     cfg = default_config()
-    # linear-scaled LR for larger batches (keeps the per-sample gradient
-    # contribution comparable across the sweep; sqrt scaling is the
-    # conservative alternative — linear passes sanity at batch 64)
+    # linear-scaled LR for larger batches (sqrt measured WORSE at batch 64:
+    # rot 62° vs 47° — the bottleneck is total parameter motion, not gradient
+    # noise).  Large-batch runs additionally want --anneal: the flat schedule
+    # leaves the late loss bouncing at 1.2e-3, exactly what the real recipe's
+    # anneal phase is for.
     lr = 3e-4 * batch_size / 16
     cfg = cfg.replace(optim=dataclasses.replace(cfg.optim, warmup_iters=100,
                                                 lr=lr))
+    if anneal:
+        # scope the flat_and_anneal schedule to this run (anneal from 72%)
+        # instead of the production 225k-iter horizon it never reaches
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, train_steps=steps, total_epoch=1))
     if os.environ.get("HSPOSE_BWD_EXACT"):  # A/B knob for backward precision
         cfg = cfg.replace(model=dataclasses.replace(cfg.model, bwd_exact=True))
     if bf16 or os.environ.get("HSPOSE_COMPUTE_DTYPE"):  # A/B knob for bf16
@@ -158,12 +165,14 @@ def main(steps=300, batch_size=16, bf16=False):
 if __name__ == "__main__":
     args = sys.argv[1:]
     bf16 = "--bf16" in args
+    anneal = "--anneal" in args
     bs = 16
     if "--batch" in args:
         i = args.index("--batch")
         bs = int(args[i + 1])
         del args[i:i + 2]
-    args = [a for a in args if a != "--bf16"]
-    main(int(args[0]) if args else 300, batch_size=bs, bf16=bf16)
+    args = [a for a in args if a not in ("--bf16", "--anneal")]
+    main(int(args[0]) if args else 300, batch_size=bs, bf16=bf16,
+         anneal=anneal)
 # NB: RAdam's rectified step sizes stay tiny for the first ~1k steps; short runs
 # show rotation learning first while the residual T/s heads transiently drift.
