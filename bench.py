@@ -214,6 +214,12 @@ def main():
     # the f32-faithful serving path (split-gather + bf16x3 v4 kernels) — the
     # parity/training-trust configuration
     exact_crops_per_sec = measure_inference(cfg, B=B, iters=10)
+    # middle serving tier: 2-term-split feature gathers (~1.5e-5 relative,
+    # mAP-parity evidence in scripts/fast_mode_parity.py) — one fewer MXU pass
+    # per feature gather than exact
+    cfg_x2 = cfg.replace(model=dataclasses.replace(cfg.model,
+                                                   compute_dtype="f32x2"))
+    f32x2_crops_per_sec = measure_inference(cfg_x2, B=B, iters=10)
     train_step_ms = measure_train_step(cfg)
     # bf16 mixed-precision training (f32 params/losses/Ranger; sanity-verified
     # — docs/PERFORMANCE.md): the large-scale option, f32 stays the default
@@ -239,6 +245,7 @@ def main():
         "mfu": round(mfu, 4),
         "flops_per_crop": round(model_flops_per_crop(n) / 1e9, 2),
         "exact_crops_per_sec": round(exact_crops_per_sec, 1),
+        "f32x2_crops_per_sec": round(f32x2_crops_per_sec, 1),
         "train_step_ms": round(train_step_ms, 1),
         "train_step_bf16_ms": round(train_step_bf16_ms, 1),
         "train_samples_per_sec": round(train_samples_per_sec, 1),

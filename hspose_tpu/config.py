@@ -83,7 +83,11 @@ class ModelConfig:
     obj_c: int = 6
     # TPU-specific knobs (no reference equivalent)
     knn_impl: str = "auto"  # 'auto' (pallas on TPU) | 'xla' | 'pallas'
-    compute_dtype: str = "float32"  # matmul dtype for the backbone
+    # backbone matmul precision tier: 'float32' (f32-faithful serving /
+    # training default), 'bfloat16' (fast serving, ~4e-3), or 'f32x2'
+    # (serving middle tier: 2-term-split feature gathers in the v4 kernels,
+    # ~1.5e-5 — one MXU pass cheaper per gather than float32's 3-term split)
+    compute_dtype: str = "float32"
     # backward-kernel precision: False (default) runs the HS-kernel backward at
     # one bf16 MXU pass per matmul (~13 ms/step faster; bf16-grade gradient
     # noise, sanity-verified); True keeps bf16x3 f32-faithful gradients

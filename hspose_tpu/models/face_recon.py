@@ -79,6 +79,7 @@ class FaceRecon(nn.Module):
         B, N, _ = vertices.shape
         # fast mode: bf16 features + one-pass distances + packed-key KNN selection
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        f32x2 = cfg.compute_dtype == "f32x2"  # 2-term-split serving tier
         fast = dtype == jnp.bfloat16
 
         if cfg.knn_impl == "xla":
@@ -98,13 +99,13 @@ class FaceRecon(nn.Module):
         # --- resolution 0: N points -------------------------------------------------
         vert_idx_0 = knn_indices(vertices, k)  # shared by conv_0 RF-P, conv_0/1 ORL
         fm_0 = HSLayerSurface(128, cfg.gcn_sup_num, dtype=dtype,
-                              bwd_exact=cfg.bwd_exact, infer_v3=cfg.infer_v3, name="conv_0")(
+                              bwd_exact=cfg.bwd_exact, infer_v3=cfg.infer_v3, f32x2=f32x2, name="conv_0")(
             vertices, rf_idx=vert_idx_0, orl_idx=vert_idx_0, train=train)
         fm_0 = jax.nn.relu(fm_0)
 
         rf_1 = knn_indices(fm_0, k)  # RF-F on features (gcn3d.py:150-153)
         fm_1 = HSLayer(128, 128, cfg.gcn_sup_num, dtype=dtype,
-                     bwd_exact=cfg.bwd_exact, infer_v3=cfg.infer_v3, name="conv_1")(
+                     bwd_exact=cfg.bwd_exact, infer_v3=cfg.infer_v3, f32x2=f32x2, name="conv_1")(
             vertices, fm_0, rf_idx=rf_1, orl_idx=vert_idx_0, train=train)
         fm_1 = jax.nn.relu(_bn("bn1", train, dtype)(fm_1))
 
@@ -118,13 +119,13 @@ class FaceRecon(nn.Module):
         vert_idx_1 = knn_indices(v_pool_1, k1)
         rf_2 = knn_indices(fm_pool_1, k1)
         fm_2 = HSLayer(128, 256, cfg.gcn_sup_num, dtype=dtype,
-                     bwd_exact=cfg.bwd_exact, infer_v3=cfg.infer_v3, name="conv_2")(
+                     bwd_exact=cfg.bwd_exact, infer_v3=cfg.infer_v3, f32x2=f32x2, name="conv_2")(
             v_pool_1, fm_pool_1, rf_idx=rf_2, orl_idx=vert_idx_1, train=train)
         fm_2 = jax.nn.relu(_bn("bn2", train, dtype)(fm_2))
 
         rf_3 = knn_indices(fm_2, k1)
         fm_3 = HSLayer(256, 256, cfg.gcn_sup_num, dtype=dtype,
-                     bwd_exact=cfg.bwd_exact, infer_v3=cfg.infer_v3, name="conv_3")(
+                     bwd_exact=cfg.bwd_exact, infer_v3=cfg.infer_v3, f32x2=f32x2, name="conv_3")(
             v_pool_1, fm_2, rf_idx=rf_3, orl_idx=vert_idx_1, train=train)
         fm_3 = jax.nn.relu(_bn("bn3", train, dtype)(fm_3))
 
@@ -138,7 +139,7 @@ class FaceRecon(nn.Module):
         vert_idx_2 = knn_indices(v_pool_2, k2)
         rf_4 = knn_indices(fm_pool_2, k2)
         fm_4 = HSLayer(256, 512, cfg.gcn_sup_num, dtype=dtype,
-                     bwd_exact=cfg.bwd_exact, infer_v3=cfg.infer_v3, name="conv_4")(
+                     bwd_exact=cfg.bwd_exact, infer_v3=cfg.infer_v3, f32x2=f32x2, name="conv_4")(
             v_pool_2, fm_pool_2, rf_idx=rf_4, orl_idx=vert_idx_2, train=train)
 
         f_global = jnp.max(fm_4, axis=1)  # (B, 512)

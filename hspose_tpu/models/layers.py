@@ -45,7 +45,8 @@ def uniform_init(stdv: float):
 
 
 def orl_global(feature: jnp.ndarray, orl_idx: jnp.ndarray,
-               fast: bool = False, train: bool = False) -> jnp.ndarray:
+               fast: bool = False, train: bool = False,
+               f32x2: bool = False) -> jnp.ndarray:
     """Outlier-robust global feature (gcn3d.get_ORL_global :211-218).
 
     KNN-max over each point's spatial neighbourhood, then a global mean broadcast
@@ -59,8 +60,9 @@ def orl_global(feature: jnp.ndarray, orl_idx: jnp.ndarray,
     if train is False and jax.devices()[0].platform == "tpu":
         from hspose_tpu.ops.pallas_hs_fused import orl_global_fused
 
+        exact = False if fast else ("f32x2" if f32x2 else True)
         return orl_global_fused(feature, orl_idx,
-                                exact=not fast).astype(feature.dtype)
+                                exact=exact).astype(feature.dtype)
     neigh = gather_neighbors(feature, orl_idx)  # (B, N, K, C)
     fmax = jnp.max(neigh, axis=2)  # (B, N, C)
     return jnp.mean(fmax, axis=1, keepdims=True)  # (B, 1, C); broadcasting replaces repeat
@@ -84,6 +86,7 @@ class HSLayerSurface(nn.Module):
     support_scan: bool = True
     bwd_exact: bool = False
     infer_v3: bool = False  # debug: v3 pre-gathered kernels for f32 inference
+    f32x2: bool = False  # serving tier: 2-term feature splits (~1.5e-5) in v4 kernels
 
     @nn.compact
     def __call__(self, vertices: jnp.ndarray, rf_idx: jnp.ndarray,
@@ -148,7 +151,7 @@ class HSLayerSurface(nn.Module):
         # ORL (gcn3d.py:109-113)
         f_global = orl_global(feature.astype(self.dtype), orl_idx,
                               fast=self.dtype == jnp.bfloat16,
-                              train=train or self.infer_v3)
+                              train=train or self.infer_v3, f32x2=self.f32x2)
         fused = jnp.concatenate(
             [feature.astype(self.dtype),
              jnp.broadcast_to(f_global, feature.shape[:2] + f_global.shape[-1:])],
@@ -172,6 +175,7 @@ class HSLayer(nn.Module):
     support_scan: bool = True
     bwd_exact: bool = False
     infer_v3: bool = False  # debug: v3 pre-gathered kernels for f32 inference
+    f32x2: bool = False  # serving tier: 2-term feature splits (~1.5e-5) in v4 kernels
 
     @nn.compact
     def __call__(self, vertices: jnp.ndarray, feature_map: jnp.ndarray,
@@ -202,10 +206,12 @@ class HSLayer(nn.Module):
 
             feature_center = (feature_map.astype(self.dtype)
                               @ weights[:, :co].astype(self.dtype) + bias[:co])
+            support_exact = ("f32x2" if self.f32x2 else True) \
+                if self.dtype == jnp.float32 else False
             activation = hs_support_fused(feature_map.astype(self.dtype),
                                           vertices, rf_idx, weights[:, co:],
                                           bias[co:], dir_norm.astype(jnp.float32),
-                                          s, co, exact=self.dtype == jnp.float32)
+                                          s, co, exact=support_exact)
         elif self.support_scan and on_tpu:
             # training: v3 custom-VJP kernel on pre-gathered tensors (see the
             # surface layer's routing note — v4's in-kernel gathers are a FLOPs
@@ -272,7 +278,7 @@ class HSLayer(nn.Module):
         # ORL (gcn3d.py:183-187)
         f_global = orl_global(feature.astype(self.dtype), orl_idx,
                               fast=self.dtype == jnp.bfloat16,
-                              train=train or self.infer_v3)
+                              train=train or self.infer_v3, f32x2=self.f32x2)
         fused = jnp.concatenate(
             [feature.astype(self.dtype),
              jnp.broadcast_to(f_global, feature.shape[:2] + f_global.shape[-1:])],

@@ -76,8 +76,26 @@ def _split_bf16(x, terms: int):
     return parts
 
 
-def _feat_parts(x, exact: bool):
-    return _split_bf16(x, 3) if exact else [x.astype(jnp.bfloat16)]
+def _feat_parts(x, exact):
+    """Feature operand splits per serving tier.
+
+    ``exact`` is False (fast bf16: one part), True (f32-faithful: 3-term split,
+    0-ULP one-hot gathers), or the string ``"f32x2"`` (2-term split: gathers
+    reconstruct features to ~1.5e-5 relative — 16 mantissa bits — while
+    dropping one MXU pass from every feature gather, the dominant split-gather
+    cost of the exact tier).  Downstream matmuls are already ~1e-5-grade in
+    exact mode (2-term weight splits), so f32x2 degrades the tier's end-to-end
+    error only marginally; mAP-level parity evidence in
+    scripts/fast_mode_parity.py.
+    """
+    return _split_bf16(x, _n_feat_parts(exact)) if exact \
+        else [x.astype(jnp.bfloat16)]
+
+
+def _n_feat_parts(exact):
+    if not exact:
+        return 1
+    return 2 if exact == "f32x2" else 3
 
 
 def _xyz_parts(x, exact: bool):
@@ -568,7 +586,7 @@ def _lanes(c):
 
 
 def _pick_tq_fwd(tq_req, n_src, cin, s_co, co, exact, want_win):
-    fixed = n_src * (_lanes(cin) * 2 * (3 if exact else 1)  # feat parts
+    fixed = n_src * (_lanes(cin) * 2 * _n_feat_parts(exact)  # feat parts
                      + _lanes(3) * 2 * (2 if exact else 1))  # verts parts
     fixed += cin * s_co * 2 * (2 if exact else 1) + 8 * s_co * 4 * 3
     per_row = (s_co * 4 * (5 if exact else 4)  # macc + proj/theta/prod temps
@@ -584,7 +602,7 @@ def _pick_tq_fwd(tq_req, n_src, cin, s_co, co, exact, want_win):
 def _pick_tq_bwd(tq_req, n_src, cin, s_co, co, exact):
     # Mosaic double-buffers every in/out block (×2 below); measured headroom on
     # top of that is what _BWD_BUDGET leaves of the 16 MB scoped VMEM
-    fixed = 2 * n_src * (_lanes(cin) * 2 * (3 if exact else 1)
+    fixed = 2 * n_src * (_lanes(cin) * 2 * _n_feat_parts(exact)
                          + _lanes(3) * 2 * (2 if exact else 1)
                          + _lanes(cin) * 4 + _lanes(3) * 4)  # dfeat + dvsrc
     fixed += cin * s_co * (2 * 2 * (2 if exact else 1) + 2 * 4)  # w parts + dw

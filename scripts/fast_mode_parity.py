@@ -205,16 +205,21 @@ def main(steps=2500):
     print("quick 64-crop screen:", "PASS" if ok else "FAIL", flush=True)
 
     # ---- phase (b): mAP resolution, 1024 crops, |delta| <= 0.3 pts ----------
-    print("mAP-resolution study (1024 crops x 2 modes) ...", flush=True)
+    print("mAP-resolution study (1024 crops x 3 modes) ...", flush=True)
+    model_x2 = build_model(cfg.replace(model=dataclasses.replace(
+        cfg.model, compute_dtype="f32x2")))
     table_f32 = map_table(model_f32, state.params, state.batch_stats)
     table_bf16 = map_table(model_bf16, state.params, state.batch_stats)
+    table_x2 = map_table(model_x2, state.params, state.batch_stats)
     worst_map = 0.0
-    print(f"{'metric':>8s} | {'f32-exact':>9s} | {'bf16-fast':>9s} | delta")
+    print(f"{'metric':>8s} | {'f32-exact':>9s} | {'f32x2':>9s} | "
+          f"{'bf16-fast':>9s} | worst delta")
     for k in table_f32:
-        d = abs(table_f32[k] - table_bf16[k])
+        d = max(abs(table_f32[k] - table_bf16[k]),
+                abs(table_f32[k] - table_x2[k]))
         worst_map = max(worst_map, d)
-        print(f"{k:>8s} | {table_f32[k]:9.2f} | {table_bf16[k]:9.2f} | "
-              f"{d:.3f} pts", flush=True)
+        print(f"{k:>8s} | {table_f32[k]:9.2f} | {table_x2[k]:9.2f} | "
+              f"{table_bf16[k]:9.2f} | {d:.3f} pts", flush=True)
     map_ok = worst_map <= HEADLINE_BUDGET_PTS
     print(f"worst headline delta: {worst_map:.3f} pts "
           f"(budget {HEADLINE_BUDGET_PTS})", flush=True)

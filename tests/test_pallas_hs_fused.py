@@ -224,3 +224,49 @@ def test_fused_ragged_n(rng):
                                       interpret=True))
     assert got.shape == (B, N, co)
     assert np.isfinite(got).all()
+
+
+def test_support_fused_f32x2_tier(rng):
+    """exact='f32x2' (2-term feature splits) must track full-f32 XLA math to
+    the ~1.5e-5-relative representation budget — between the exact tier
+    (~1e-5-grade overall) and fast bf16 (~4e-3) — while running one fewer MXU
+    pass per feature gather."""
+    B, N, K, cin, s, co = 2, 200, 10, 32, 3, 64
+    feat = rng.normal(size=(B, N, cin)).astype(np.float32)
+    verts = rng.normal(scale=0.2, size=(B, N, 3)).astype(np.float32)
+    idx = rng.integers(0, N, (B, N, K)).astype(np.int32)
+    w = (rng.normal(size=(cin, s * co)) * 0.1).astype(np.float32)
+    b = (rng.normal(size=(s * co,)) * 0.1).astype(np.float32)
+    d = rng.normal(size=(3, s * co)).astype(np.float32)
+
+    want = np.asarray(_xla_support(jnp.asarray(feat), jnp.asarray(verts),
+                                   jnp.asarray(idx), jnp.asarray(w),
+                                   jnp.asarray(b), jnp.asarray(d), s, co))
+    got = np.asarray(hs_support_fused(jnp.asarray(feat), jnp.asarray(verts),
+                                      jnp.asarray(idx), jnp.asarray(w),
+                                      jnp.asarray(b), jnp.asarray(d), s, co,
+                                      tq=64, exact="f32x2", interpret=True))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-3 * scale)
+    # and it must be materially tighter than the fast bf16 tier on the same data
+    fast = np.asarray(hs_support_fused(jnp.asarray(feat), jnp.asarray(verts),
+                                       jnp.asarray(idx), jnp.asarray(w),
+                                       jnp.asarray(b), jnp.asarray(d), s, co,
+                                       tq=64, exact=False, interpret=True))
+    err_x2 = np.abs(got - want).max()
+    err_fast = np.abs(fast - want).max()
+    assert err_x2 < err_fast / 5, (err_x2, err_fast)
+
+
+def test_orl_fused_f32x2_tier(rng):
+    from hspose_tpu.ops.pallas_hs_fused import orl_global_fused
+
+    B, N, K, C = 2, 150, 12, 48
+    feat = rng.normal(size=(B, N, C)).astype(np.float32)
+    idx = rng.integers(0, N, (B, N, K)).astype(np.int32)
+    neigh = np.take_along_axis(feat[:, None].repeat(N, 1),
+                               idx[..., None].repeat(C, -1), axis=2)
+    want = np.max(neigh, axis=2).mean(axis=1, keepdims=True)
+    got = np.asarray(orl_global_fused(jnp.asarray(feat), jnp.asarray(idx),
+                                      tq=64, exact="f32x2", interpret=True))
+    np.testing.assert_allclose(got, want, rtol=0, atol=5e-5 * np.abs(want).max())
