@@ -38,8 +38,13 @@ def _distance_tile(x, q, use_mxu: bool, fast: bool):
     """(TQ, Npad) squared distances from q (TQ, D) to x (Npad, D)."""
     tq, npad = q.shape[0], x.shape[0]
     if use_mxu:
-        # Mosaic supports DEFAULT/HIGHEST only; fast mode takes the bf16 pass
-        prec = (jax.lax.Precision.DEFAULT if fast
+        # Mosaic supports DEFAULT/HIGHEST only; fast mode takes the bf16 pass.
+        # bf16 inputs must also take DEFAULT: there is no higher-precision
+        # pass to make from bf16 data, and Mosaic rejects a HIGHEST-precision
+        # NT-matmul on bf16 vectors (hit by the streamed path at N>2048 in
+        # fast mode — the flat fast path always passed DEFAULT).
+        prec = (jax.lax.Precision.DEFAULT
+                if fast or x.dtype == jnp.bfloat16
                 else jax.lax.Precision.HIGHEST)
         inner = jax.lax.dot_general(
             q, x, dimension_numbers=(((1,), (1,)), ((), ())),
