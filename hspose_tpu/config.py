@@ -226,6 +226,12 @@ class ParallelConfig:
     # all-gathers/reduces over ICI.  mp=1 keeps the pure-DP 1-D mesh.
     mp: int = 1
     model_axis_name: str = "mp"
+    # sequence (point-axis) parallelism for SERVING at large N: sp > 1 lays a
+    # 2-D (dp, sp) mesh, shards each crop's point axis over sp and runs local
+    # queries against all-gathered sources with collective cross-N reductions
+    # (parallel/sp.py).  Requires num_points % (16*sp) == 0 (the large-N
+    # configs); mutually exclusive with mp; eval-only.
+    sp: int = 1
 
 
 @dataclass(frozen=True)

@@ -58,23 +58,29 @@ def batched_pose_inference(cfg: HSPoseConfig, model, params, batch_stats,
     # shard crop batches over the data-parallel mesh axis (multi-chip serving
     # path; a 1-device mesh degenerates to the plain single-chip case).  With
     # parallel.mp > 1 the mesh is 2-D and the Dense head channels additionally
-    # tensor-shard over the mp axis (parallel/mesh.py::state_sharding).
+    # tensor-shard over the mp axis (parallel/mesh.py::state_sharding).  With
+    # parallel.sp > 1 the mesh is (dp, sp) and each crop's POINT axis shards
+    # over sp — the large-N serving layout (parallel/sp.py).
     n_dev = len(jax.devices())
     mp = max(cfg.parallel.mp, 1)
-    if mp > n_dev:
+    sp = max(cfg.parallel.sp, 1)
+    if mp > n_dev or sp > n_dev:
         raise ValueError(
-            f"parallel.mp={mp} exceeds the {n_dev} available device(s)")
-    dp = cfg.parallel.dp if cfg.parallel.dp > 0 else n_dev // mp
+            f"parallel.mp={mp}/parallel.sp={sp} exceeds the {n_dev} "
+            f"available device(s)")
+    if sp > 1 and mp > 1:
+        raise ValueError("parallel.sp and parallel.mp are mutually exclusive")
+    if sp > 1 and cfg.eval.recon:
+        raise ValueError("eval.recon is not supported with parallel.sp")
+    dp = cfg.parallel.dp if cfg.parallel.dp > 0 else n_dev // (mp * sp)
     while B % dp != 0:
         dp -= 1
-    if dp * mp < n_dev:
+    if dp * mp * sp < n_dev:
         import logging
         logging.getLogger("eval_log").warning(
-            "mesh shrunk to dp=%d x mp=%d (eval_batch %d not divisible): "
-            "%d of %d devices will sit idle", dp, mp, B, dp * mp, n_dev)
-    mesh = make_mesh(ParallelConfig(dp=dp, mp=mp), jax.devices()[:dp * mp])
-    params, batch_stats = shard_state(mesh, (params, batch_stats))
-    crop_sharding = batch_sharding(mesh)
+            "mesh shrunk to dp=%d x mp=%d x sp=%d (eval_batch %d not "
+            "divisible): %d of %d devices will sit idle", dp, mp, sp, B,
+            dp * mp * sp, n_dev)
 
     records = iter(image_records)
     try:
@@ -88,8 +94,36 @@ def batched_pose_inference(cfg: HSPoseConfig, model, params, batch_stats,
     crop_keys = (["roi_depth", "roi_mask", "roi_coord", "cam_k"]
                  if device_mode else ["pcl_in"])
 
-    forward_fn = _build_forward(cfg, model, params, batch_stats, device_mode,
-                                n_pts)
+    if sp > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from hspose_tpu.parallel.sp import (
+            make_sp_mesh,
+            sp_eval_fn,
+            sp_points_per_device,
+        )
+
+        if device_mode:
+            raise ValueError("parallel.sp needs host-sampled point clouds "
+                             "(eval.sample_mode=host)")
+        sp_points_per_device(n_pts, sp)
+        mesh = make_sp_mesh(dp, sp)
+        params, batch_stats = jax.device_put(
+            (params, batch_stats), NamedSharding(mesh, P()))
+        crop_sharding = NamedSharding(mesh, P("dp"))
+        crop_shardings = {"pcl_in": NamedSharding(mesh, P("dp", "sp"))}
+        sp_fn = sp_eval_fn(model, mesh)
+
+        def forward_fn(crop, obj_id, sym, mean_shape, key):
+            return sp_fn(params, batch_stats, crop["pcl_in"], obj_id, sym,
+                         mean_shape, key)
+    else:
+        mesh = make_mesh(ParallelConfig(dp=dp, mp=mp), jax.devices()[:dp * mp])
+        params, batch_stats = shard_state(mesh, (params, batch_stats))
+        crop_sharding = batch_sharding(mesh)
+        crop_shardings = {}
+        forward_fn = _build_forward(cfg, model, params, batch_stats,
+                                    device_mode, n_pts)
 
     key = jax.random.key(seed)
     state = {"t_start": None, "timed_from": 0, "fetched": 0}
@@ -156,7 +190,8 @@ def batched_pose_inference(cfg: HSPoseConfig, model, params, batch_stats,
             del buf[k][:n_valid]
         del ids[:n_valid], syms[:n_valid], means[:n_valid], owners[:n_valid]
         outs = forward_fn(
-            {k: jax.device_put(v, crop_sharding) for k, v in crop.items()},
+            {k: jax.device_put(v, crop_shardings.get(k, crop_sharding))
+             for k, v in crop.items()},
             jax.device_put(obj_id, crop_sharding),
             jax.device_put(sym, crop_sharding),
             jax.device_put(mean, crop_sharding),

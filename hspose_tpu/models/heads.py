@@ -25,8 +25,12 @@ class VecHead(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        """x: (B, N, C) per-point features -> (B, out_c) f32."""
+    def __call__(self, x: jnp.ndarray, train: bool,
+                 sp_axis: str | None = None) -> jnp.ndarray:
+        """x: (B, N, C) per-point features -> (B, out_c) f32.
+
+        ``sp_axis``: x holds this device's point shard; the global max-pool
+        finishes with a pmax collective (sequence-parallel serving)."""
         x = nn.Dense(1024, kernel_init=torch_linear_init(x.shape[-1]),
                      bias_init=torch_linear_init(x.shape[-1]), dtype=self.dtype,
                      name="conv1")(x)
@@ -37,6 +41,8 @@ class VecHead(nn.Module):
         x = jax.nn.relu(_bn("bn2", train, self.dtype)(x))
 
         x = jnp.max(x, axis=1, keepdims=True)  # global max over points (B, 1, 256)
+        if sp_axis is not None:
+            x = jax.lax.pmax(x, sp_axis)
 
         x = nn.Dense(256, kernel_init=torch_linear_init(256),
                      bias_init=torch_linear_init(256), dtype=self.dtype,
@@ -55,8 +61,9 @@ class RotationHead(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feat: jnp.ndarray, train: bool) -> jnp.ndarray:
-        return VecHead(4, dtype=self.dtype, name="vec")(feat, train)
+    def __call__(self, feat: jnp.ndarray, train: bool,
+                 sp_axis: str | None = None) -> jnp.ndarray:
+        return VecHead(4, dtype=self.dtype, name="vec")(feat, train, sp_axis)
 
 
 class PoseTsHead(nn.Module):
@@ -65,6 +72,7 @@ class PoseTsHead(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feat: jnp.ndarray, train: bool):
-        x = VecHead(6, dtype=self.dtype, name="vec")(feat, train)
+    def __call__(self, feat: jnp.ndarray, train: bool,
+                 sp_axis: str | None = None):
+        x = VecHead(6, dtype=self.dtype, name="vec")(feat, train, sp_axis)
         return x[:, 0:3], x[:, 3:6]

@@ -131,11 +131,14 @@ def train_forward(cfg: HSPoseConfig, model: PoseNet9D, params, batch_stats,
 
 def eval_forward(model: PoseNet9D, params, batch_stats, pool_key: jax.Array,
                  pc: jnp.ndarray, obj_id: jnp.ndarray,
-                 with_heads: bool = False) -> PoseNetOutput:
+                 with_heads: bool = False,
+                 sp_axis: str | None = None) -> PoseNetOutput:
     """Inference forward (no train heads, running BN stats, keyed pooling).
 
     ``with_heads=True`` additionally runs the recon/face heads deterministically
-    (the ``eval_recon`` producer) — needs an unpruned training checkpoint."""
+    (the ``eval_recon`` producer) — needs an unpruned training checkpoint.
+    ``sp_axis``: sequence-parallel serving inside shard_map — ``pc`` holds this
+    device's point shard (see parallel/sp.py)."""
     variables = {"params": params, "batch_stats": batch_stats}
     return model.apply(variables, pc, obj_id.astype(jnp.int32), False,
-                       with_heads, rngs={"pool": pool_key})
+                       with_heads, sp_axis, rngs={"pool": pool_key})

@@ -44,9 +44,18 @@ def uniform_init(stdv: float):
     return init
 
 
+def _ag_points(x: jnp.ndarray, sp_axis: Optional[str]) -> jnp.ndarray:
+    """All-gather the point axis over the sequence-parallel mesh axis
+    (identity when ``sp_axis`` is None)."""
+    if sp_axis is None:
+        return x
+    return jax.lax.all_gather(x, sp_axis, axis=1, tiled=True)
+
+
 def orl_global(feature: jnp.ndarray, orl_idx: jnp.ndarray,
                fast: bool = False, train: bool = False,
-               f32x2: bool = False) -> jnp.ndarray:
+               f32x2: bool = False,
+               sp_axis: Optional[str] = None) -> jnp.ndarray:
     """Outlier-robust global feature (gcn3d.get_ORL_global :211-218).
 
     KNN-max over each point's spatial neighbourhood, then a global mean broadcast
@@ -56,16 +65,25 @@ def orl_global(feature: jnp.ndarray, orl_idx: jnp.ndarray,
     materializes (B, K, N, C) in HBM before the max.  Training keeps the XLA
     gather: at train batch (16) the tensors are small and the fused kernel's
     one-hot matmul FLOPs cost more than the HBM round-trip saves (measured,
-    docs/PERFORMANCE.md)."""
+    docs/PERFORMANCE.md).
+
+    ``sp_axis``: sequence-parallel serving — ``feature``/``orl_idx`` hold this
+    shard's query rows; the gather source is the all-gathered global feature
+    map and the global mean is the pmean of the per-shard means (shards are
+    equal-sized)."""
+    src = _ag_points(feature, sp_axis)
     if train is False and jax.devices()[0].platform == "tpu":
         from hspose_tpu.ops.pallas_hs_fused import orl_global_fused
 
         exact = False if fast else ("f32x2" if f32x2 else True)
-        return orl_global_fused(feature, orl_idx,
-                                exact=exact).astype(feature.dtype)
-    neigh = gather_neighbors(feature, orl_idx)  # (B, N, K, C)
-    fmax = jnp.max(neigh, axis=2)  # (B, N, C)
-    return jnp.mean(fmax, axis=1, keepdims=True)  # (B, 1, C); broadcasting replaces repeat
+        out = orl_global_fused(src, orl_idx, exact=exact)
+    else:
+        neigh = gather_neighbors(src, orl_idx)  # (B, N, K, C)
+        fmax = jnp.max(neigh, axis=2)  # (B, N, C)
+        out = jnp.mean(fmax, axis=1, keepdims=True)  # (B, 1, C)
+    if sp_axis is not None:
+        out = jax.lax.pmean(out, sp_axis)
+    return out.astype(feature.dtype)
 
 
 class HSLayerSurface(nn.Module):
@@ -90,13 +108,19 @@ class HSLayerSurface(nn.Module):
 
     @nn.compact
     def __call__(self, vertices: jnp.ndarray, rf_idx: jnp.ndarray,
-                 orl_idx: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+                 orl_idx: jnp.ndarray, train: bool = False,
+                 sp_axis: Optional[str] = None,
+                 verts_src: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         s, k = self.support_num, self.kernel_num
         directions = self.param("directions", uniform_init(1.0 / (s * k) ** 0.5), (3, s * k))
         ste = nn.Dense(k, use_bias=False, name="STE_layer",
                        kernel_init=torch_linear_init(3), dtype=self.dtype)
         conv2 = nn.Dense(k, use_bias=False, name="conv2",
                          kernel_init=torch_linear_init(2 * k), dtype=self.dtype)
+        if sp_axis is not None:
+            # sequence-parallel serving: this shard's query rows against the
+            # all-gathered global cloud (idx values are source-global)
+            assert verts_src is not None and not train and not self.infer_v3
 
         f_ste = ste(vertices)
 
@@ -112,9 +136,11 @@ class HSLayerSurface(nn.Module):
             # when the compute dtype is f32, one-pass bf16 in fast mode
             from hspose_tpu.ops.pallas_hs_fused import hs_surface_fused
 
-            feature = hs_surface_fused(vertices, rf_idx,
-                                       dir_norm.astype(jnp.float32), s, k,
-                                       exact=self.dtype == jnp.float32)
+            feature = hs_surface_fused(
+                vertices if verts_src is None else verts_src, rf_idx,
+                dir_norm.astype(jnp.float32), s, k,
+                exact=self.dtype == jnp.float32,
+                vertices_q=vertices if verts_src is not None else None)
         elif self.support_scan and on_tpu:
             # training: the v3 custom-VJP kernel on pre-gathered k-major rf.
             # v4's in-kernel one-hot gathers cost O(N·C) MXU FLOPs per gathered
@@ -129,7 +155,8 @@ class HSLayerSurface(nn.Module):
                                         exact=self.dtype == jnp.float32,
                                         bwd_exact=self.bwd_exact)
         elif self.support_scan:
-            rf_norm = neighbor_directions_normalized(vertices, rf_idx)  # (B, N, K, 3)
+            rf_norm = neighbor_directions_normalized(vertices, rf_idx,
+                                                     source=verts_src)  # (B, N, K, 3)
             dirs_s = dir_norm.reshape(3, s, k).transpose(1, 0, 2)  # (S, 3, C)
 
             def body(carry, dir_s):
@@ -141,7 +168,8 @@ class HSLayerSurface(nn.Module):
                 unroll=True)
             feature = total / s
         else:
-            rf_norm = neighbor_directions_normalized(vertices, rf_idx)
+            rf_norm = neighbor_directions_normalized(vertices, rf_idx,
+                                                     source=verts_src)
             theta = jax.nn.relu(
                 jnp.einsum("bnkd,ds->bnks", rf_norm, dir_norm))
             B, N, K = theta.shape[:3]
@@ -151,7 +179,8 @@ class HSLayerSurface(nn.Module):
         # ORL (gcn3d.py:109-113)
         f_global = orl_global(feature.astype(self.dtype), orl_idx,
                               fast=self.dtype == jnp.bfloat16,
-                              train=train or self.infer_v3, f32x2=self.f32x2)
+                              train=train or self.infer_v3, f32x2=self.f32x2,
+                              sp_axis=sp_axis)
         fused = jnp.concatenate(
             [feature.astype(self.dtype),
              jnp.broadcast_to(f_global, feature.shape[:2] + f_global.shape[-1:])],
@@ -180,8 +209,15 @@ class HSLayer(nn.Module):
     @nn.compact
     def __call__(self, vertices: jnp.ndarray, feature_map: jnp.ndarray,
                  rf_idx: jnp.ndarray, orl_idx: jnp.ndarray,
-                 train: bool = False) -> jnp.ndarray:
+                 train: bool = False, sp_axis: Optional[str] = None,
+                 verts_src: Optional[jnp.ndarray] = None,
+                 feat_src: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         s, co = self.support_num, self.out_channel
+        if sp_axis is not None:
+            # sequence-parallel serving: local query rows, gathers address the
+            # all-gathered global vertex/feature maps (idx are source-global)
+            assert (verts_src is not None and feat_src is not None
+                    and not train and not self.infer_v3 and self.support_scan)
         stdv = 1.0 / (co * (s + 1)) ** 0.5
         weights = self.param("weights", uniform_init(stdv), (self.in_channel, (s + 1) * co))
         bias = self.param("bias", uniform_init(stdv), ((s + 1) * co,))
@@ -208,10 +244,12 @@ class HSLayer(nn.Module):
                               @ weights[:, :co].astype(self.dtype) + bias[:co])
             support_exact = ("f32x2" if self.f32x2 else True) \
                 if self.dtype == jnp.float32 else False
-            activation = hs_support_fused(feature_map.astype(self.dtype),
-                                          vertices, rf_idx, weights[:, co:],
-                                          bias[co:], dir_norm.astype(jnp.float32),
-                                          s, co, exact=support_exact)
+            activation = hs_support_fused(
+                (feature_map if feat_src is None else feat_src).astype(self.dtype),
+                vertices if verts_src is None else verts_src, rf_idx,
+                weights[:, co:], bias[co:], dir_norm.astype(jnp.float32),
+                s, co, exact=support_exact,
+                vertices_q=vertices if verts_src is not None else None)
         elif self.support_scan and on_tpu:
             # training: v3 custom-VJP kernel on pre-gathered tensors (see the
             # surface layer's routing note — v4's in-kernel gathers are a FLOPs
@@ -233,7 +271,8 @@ class HSLayer(nn.Module):
                                            exact=self.dtype == jnp.float32,
                                            bwd_exact=self.bwd_exact)
         elif self.support_scan:
-            rf_norm = neighbor_directions_normalized(vertices, rf_idx)  # (B, N, K, 3)
+            rf_norm = neighbor_directions_normalized(vertices, rf_idx,
+                                                     source=verts_src)  # (B, N, K, 3)
             feature_center = (feature_map.astype(self.dtype)
                               @ weights[:, :co].astype(self.dtype) + bias[:co])
             # gather-FIRST: since the support projection is linear, gathering the
@@ -246,7 +285,9 @@ class HSLayer(nn.Module):
             w_s = (weights[:, co:].reshape(self.in_channel, s, co)
                    .transpose(1, 0, 2))  # (S, Cin, co)
             b_s = bias[co:].reshape(s, co)
-            gathered_in = gather_neighbors(feature_map.astype(self.dtype), rf_idx)
+            gathered_in = gather_neighbors(
+                (feature_map if feat_src is None else feat_src).astype(self.dtype),
+                rf_idx)
 
             def body(carry, inp):
                 dir_s, w, bb = inp
@@ -278,7 +319,8 @@ class HSLayer(nn.Module):
         # ORL (gcn3d.py:183-187)
         f_global = orl_global(feature.astype(self.dtype), orl_idx,
                               fast=self.dtype == jnp.bfloat16,
-                              train=train or self.infer_v3, f32x2=self.f32x2)
+                              train=train or self.infer_v3, f32x2=self.f32x2,
+                              sp_axis=sp_axis)
         fused = jnp.concatenate(
             [feature.astype(self.dtype),
              jnp.broadcast_to(f_global, feature.shape[:2] + f_global.shape[-1:])],
@@ -288,18 +330,42 @@ class HSLayer(nn.Module):
 
 
 def pool_layer(key: jax.Array, vertices: jnp.ndarray, feature_map: jnp.ndarray,
-               pool_idx: jnp.ndarray, pooling_rate: int = 4):
+               pool_idx: jnp.ndarray, pooling_rate: int = 4,
+               sp_axis: Optional[str] = None,
+               verts_src: Optional[jnp.ndarray] = None,
+               feat_src: Optional[jnp.ndarray] = None):
     """Neighbour-max pooling + shared random subsample (gcn3d.Pool_layer :220-246).
 
     ``pool_idx``: vertex-KNN indices (B, N, 4).  The subsample permutation is drawn
     once from ``key`` and shared across the batch, exactly like the reference's
     ``randperm``.  Returns (vertices_pool, features_pool).
+
+    Sequence-parallel: every device draws the SAME global permutation (the key
+    is replicated), neighbour-max runs on local query rows against the global
+    feature source, and each device keeps its contiguous slice of the sampled
+    set — so the sharded pooled cloud is exactly the single-device pooled cloud
+    partitioned along the mesh axis.
     """
-    n = vertices.shape[1]
-    pooled = jnp.max(gather_neighbors(feature_map, pool_idx), axis=2)
-    pool_num = n // pooling_rate
-    sample = jax.random.permutation(key, n)[:pool_num]
-    return vertices[:, sample, :], pooled[:, sample, :]
+    if sp_axis is None:
+        n = vertices.shape[1]
+        pooled = jnp.max(gather_neighbors(feature_map, pool_idx), axis=2)
+        pool_num = n // pooling_rate
+        sample = jax.random.permutation(key, n)[:pool_num]
+        return vertices[:, sample, :], pooled[:, sample, :]
+
+    n_global = verts_src.shape[1]
+    sp = n_global // vertices.shape[1]
+    pooled_local = jnp.max(gather_neighbors(feat_src, pool_idx), axis=2)
+    pooled_g = _ag_points(pooled_local, sp_axis)
+    pool_num = n_global // pooling_rate
+    if pool_num % sp:
+        raise ValueError(f"pooled size {pool_num} does not shard over sp={sp}")
+    sample = jax.random.permutation(key, n_global)[:pool_num]
+    m = pool_num // sp
+    start = jax.lax.axis_index(sp_axis) * m
+    local_sample = jax.lax.dynamic_slice_in_dim(sample, start, m)
+    return (jnp.take(verts_src, local_sample, axis=1),
+            jnp.take(pooled_g, local_sample, axis=1))
 
 
 def receptive_field_indices(feat_or_verts: jnp.ndarray, k: int) -> jnp.ndarray:

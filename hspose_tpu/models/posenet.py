@@ -39,12 +39,20 @@ class PoseNet9D(nn.Module):
 
     @nn.compact
     def __call__(self, points: jnp.ndarray, obj_id: jnp.ndarray,
-                 train: bool, with_heads: bool = False) -> PoseNetOutput:
+                 train: bool, with_heads: bool = False,
+                 sp_axis: Optional[str] = None) -> PoseNetOutput:
+        """``sp_axis``: sequence-parallel serving (inside shard_map) — ``points``
+        holds this device's shard of the point axis; the centering mean and the
+        heads' global max-pools finish with collectives, and the backbone runs
+        local queries against all-gathered sources (see FaceRecon).  All
+        per-crop outputs are replicated across the sp axis."""
         center = jnp.mean(points, axis=1, keepdims=True)
+        if sp_axis is not None:
+            center = jax.lax.pmean(center, sp_axis)  # equal shards: exact mean
         centred = points - center
 
         recon, face, feat = FaceRecon(self.cfg, name="face_recon")(
-            centred, obj_id, train, with_heads)
+            centred, obj_id, train, with_heads, sp_axis=sp_axis)
 
         if train or with_heads:
             B, N = points.shape[:2]
@@ -57,8 +65,9 @@ class PoseNet9D(nn.Module):
             recon = face_normal = face_dis = face_f = None
 
         dtype = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
-        green_vec = RotationHead(dtype=dtype, name="rot_green")(feat, train)  # (B, 4)
-        red_vec = RotationHead(dtype=dtype, name="rot_red")(feat, train)
+        green_vec = RotationHead(dtype=dtype, name="rot_green")(feat, train,
+                                                                sp_axis)  # (B, 4)
+        red_vec = RotationHead(dtype=dtype, name="rot_red")(feat, train, sp_axis)
         p_green_R = green_vec[:, 1:] / (jnp.linalg.norm(green_vec[:, 1:], axis=-1,
                                                         keepdims=True) + 1e-6)
         p_red_R = red_vec[:, 1:] / (jnp.linalg.norm(red_vec[:, 1:], axis=-1,
@@ -67,7 +76,7 @@ class PoseNet9D(nn.Module):
         f_red_R = jax.nn.sigmoid(red_vec[:, 0])
 
         feat_ts = jnp.concatenate([feat, centred.astype(feat.dtype)], axis=-1)  # (B, N, 1289)
-        T, s = PoseTsHead(dtype=dtype, name="ts")(feat_ts, train)
+        T, s = PoseTsHead(dtype=dtype, name="ts")(feat_ts, train, sp_axis)
         pred_T = T + center[:, 0, :]
 
         return PoseNetOutput(recon, face_normal, face_dis, face_f, p_green_R, p_red_R,

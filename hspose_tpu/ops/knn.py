@@ -39,7 +39,8 @@ def pairwise_sq_dist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def knn_indices(points: jnp.ndarray, k: int) -> jnp.ndarray:
+def knn_indices(points: jnp.ndarray, k: int,
+                source: jnp.ndarray | None = None) -> jnp.ndarray:
     """Indices of the k nearest neighbours, excluding the query point itself.
 
     points: (B, N, D).  Returns int32 (B, N, k).
@@ -47,13 +48,20 @@ def knn_indices(points: jnp.ndarray, k: int) -> jnp.ndarray:
     Matches ``gcn3d.get_neighbor_index`` (:15-24): top-(k+1) smallest distances, drop
     the first column (self).  Ties therefore resolve in the same ordered-by-distance
     way (top_k is stable on equal keys by index).
+
+    ``source`` (B, M, D) searches a different candidate set (the sequence-parallel
+    serving path passes local queries against the all-gathered global cloud);
+    indices are into ``source``, which must CONTAIN every query row (the self-drop
+    contract) — under SP the queries are a shard of the gathered source, so this
+    holds by construction.
     """
-    d = pairwise_sq_dist(points, points)
+    d = pairwise_sq_dist(points, points if source is None else source)
     _, idx = jax.lax.top_k(-d, k + 1)
     return idx[..., 1:]
 
 
-def knn_indices_fast(points: jnp.ndarray, k: int, fast: bool = False) -> jnp.ndarray:
+def knn_indices_fast(points: jnp.ndarray, k: int, fast: bool = False,
+                     source: jnp.ndarray | None = None) -> jnp.ndarray:
     """Backend-dispatching KNN: the fused Pallas kernel on TPU (8× faster than the
     sort-based top_k there), the XLA path elsewhere.  Trace-time decision.
 
@@ -61,10 +69,15 @@ def knn_indices_fast(points: jnp.ndarray, k: int, fast: bool = False) -> jnp.nda
     selection loop + one-pass bf16 distances — see ``pallas_knn.knn_indices_pallas``.
     """
     if jax.devices()[0].platform == "tpu":
-        from hspose_tpu.ops.pallas_knn import knn_indices_pallas
+        from hspose_tpu.ops.pallas_knn import (
+            knn_indices_pallas,
+            knn_indices_pallas_qs,
+        )
 
+        if source is not None:
+            return knn_indices_pallas_qs(points, source, k, fast=fast)
         return knn_indices_pallas(points, k, fast=fast)
-    return knn_indices(points, k)
+    return knn_indices(points, k, source=source)
 
 
 @jax.jit
@@ -192,13 +205,17 @@ def gather_neighbors_kmajor(features: jnp.ndarray, idx: jnp.ndarray,
     return out.reshape(B, M, K, features.shape[-1]).transpose(0, 2, 1, 3)
 
 
-def neighbor_directions_normalized(vertices: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def neighbor_directions_normalized(vertices: jnp.ndarray, idx: jnp.ndarray,
+                                   source: jnp.ndarray | None = None) -> jnp.ndarray:
     """Unit direction vectors to each neighbour (gcn3d.get_neighbor_direction_norm :49-59).
 
     vertices (B, N, 3), idx (B, N, K) -> (B, N, K, 3).
     Zero-length directions normalize to zero (torch F.normalize uses clamped norm).
+    ``source`` (B, M, 3) gathers neighbour coordinates from a different (global)
+    cloud — the sequence-parallel path, where ``idx`` holds source-global indices.
     """
-    neighbors = gather_neighbors(vertices, idx, bit_exact=True)
+    neighbors = gather_neighbors(vertices if source is None else source, idx,
+                                 bit_exact=True)
     direction = neighbors - vertices[:, :, None, :]
     norm = jnp.linalg.norm(direction, axis=-1, keepdims=True)
     return direction / jnp.maximum(norm, 1e-12)

@@ -622,20 +622,29 @@ def _pick_tq_bwd(tq_req, n_src, cin, s_co, co, exact):
 # ---------------------------------------------------------------------------
 
 def _support_prep(feature_map, vertices, idx, weights, bias, dirs, exact, tq,
-                  want_win):
-    """Pad + split the inputs; returns (arrays, specs, shapes, dims)."""
+                  want_win, vertices_q=None):
+    """Pad + split the inputs; returns (arrays, specs, shapes, dims).
+
+    ``vertices_q`` (B, NQ, 3) supplies a separate query set whose rows the
+    ``idx`` grid tiles (the sequence-parallel path: local queries against the
+    resident all-gathered source).  Splitting is elementwise, so a query slice
+    of the source splits identically to the source itself — the self-rf-zero
+    invariant holds across the query/source separation."""
     B, N, cin = feature_map.shape
+    NQ = idx.shape[1]
     K = idx.shape[-1]
     s_co = weights.shape[-1]
     n_src = ((N + 7) // 8) * 8
-    nq = ((N + tq - 1) // tq) * tq
+    nq = ((NQ + tq - 1) // tq) * tq
     k_pad = ((K + 127) // 128) * 128
 
     xyz_split = _xyz_parts(vertices, exact)
     f_parts = [_pad_axis(p, n_src, 1) for p in _feat_parts(feature_map, exact)]
     v_parts = [_pad_axis(p, n_src, 1) for p in xyz_split]
     # query centres ship as the SAME splits so self-neighbour rf is exactly 0
-    vt_parts = [_pad_axis(p, nq, 1) for p in xyz_split]
+    q_split = (xyz_split if vertices_q is None
+               else _xyz_parts(vertices_q, exact))
+    vt_parts = [_pad_axis(p, nq, 1) for p in q_split]
     idxp = _pad_axis(_pad_axis(idx.astype(jnp.int32), nq, 1), k_pad, 2)
     w_parts = _w_parts(weights, exact)
     d_parts = _w_parts(dirs, exact)
@@ -656,13 +665,14 @@ def _support_prep(feature_map, vertices, idx, weights, bias, dirs, exact, tq,
 
 
 def _support_fwd_call(feature_map, vertices, idx, weights, bias, dirs, *,
-                      s, co, tq, exact, interpret, want_win):
+                      s, co, tq, exact, interpret, want_win, vertices_q=None):
     cin, s_co = weights.shape
     N = feature_map.shape[1]
     n_src = ((N + 7) // 8) * 8
     tq = _pick_tq_fwd(tq, n_src, cin, s_co, co, exact, want_win)
     args, in_specs, shp, dims = _support_prep(
-        feature_map, vertices, idx, weights, bias, dirs, exact, tq, want_win)
+        feature_map, vertices, idx, weights, bias, dirs, exact, tq, want_win,
+        vertices_q)
     B, N, cin, K, s_co, n_src, nq, k_pad = shp
 
     out_shape = [jax.ShapeDtypeStruct((B, nq, co), jnp.float32)]
@@ -727,17 +737,20 @@ def _support_bwd_call(feature_map, vertices, idx, weights, bias, dirs, win,
     return dfeat[:, :N], dverts, dw, db[0], dd[0:3]
 
 
-def _surface_prep(vertices, idx, dirs, exact, tq, want_win):
+def _surface_prep(vertices, idx, dirs, exact, tq, want_win, vertices_q=None):
     B, N, _ = vertices.shape
+    NQ = idx.shape[1]
     K = idx.shape[-1]
     s_co = dirs.shape[-1]
     n_src = ((N + 7) // 8) * 8
-    nq = ((N + tq - 1) // tq) * tq
+    nq = ((NQ + tq - 1) // tq) * tq
     k_pad = ((K + 127) // 128) * 128
 
     xyz_split = _xyz_parts(vertices, exact)
     v_parts = [_pad_axis(p, n_src, 1) for p in xyz_split]
-    vt_parts = [_pad_axis(p, nq, 1) for p in xyz_split]
+    q_split = (xyz_split if vertices_q is None
+               else _xyz_parts(vertices_q, exact))
+    vt_parts = [_pad_axis(p, nq, 1) for p in q_split]
     idxp = _pad_axis(_pad_axis(idx.astype(jnp.int32), nq, 1), k_pad, 2)
     d_parts = _w_parts(dirs, exact)
 
@@ -752,13 +765,13 @@ def _surface_prep(vertices, idx, dirs, exact, tq, want_win):
 
 
 def _surface_fwd_call(vertices, idx, dirs, *, s, co, tq, exact, interpret,
-                      want_win):
+                      want_win, vertices_q=None):
     s_co = dirs.shape[-1]
     N = vertices.shape[1]
     n_src = ((N + 7) // 8) * 8
     tq = _pick_tq_fwd(tq, n_src, 0, s_co, co, exact, want_win)
     args, in_specs, shp, dims = _surface_prep(vertices, idx, dirs, exact, tq,
-                                              want_win)
+                                              want_win, vertices_q)
     B, N, K, s_co, n_src, nq, k_pad = shp
 
     out_shape = [jax.ShapeDtypeStruct((B, nq, co), jnp.float32)]
@@ -817,9 +830,12 @@ def _surface_bwd_call(vertices, idx, dirs, win, gbar, *, s, co, tq, exact,
 
 
 def _orl_prep(feature, idx, exact, tq):
+    # idx may tile fewer query rows than the feature source has (the
+    # sequence-parallel path: local queries, all-gathered source)
     B, N, C = feature.shape
+    NQ = idx.shape[1]
     K = idx.shape[-1]
-    nq = ((N + tq - 1) // tq) * tq
+    nq = ((NQ + tq - 1) // tq) * tq
     n_src = ((N + 7) // 8) * 8
     k_pad = ((K + 127) // 128) * 128
     f_parts = [_pad_axis(p, n_src, 1) for p in _feat_parts(feature, exact)]
@@ -834,13 +850,14 @@ def _orl_prep(feature, idx, exact, tq):
 def _orl_fwd_call(feature, idx, *, tq, exact, interpret, want_win):
     args, in_specs, shp = _orl_prep(feature, idx, exact, tq)
     B, N, C, K, n_src, nq, k_pad = shp
+    nq_valid = idx.shape[1]  # mean over the QUERY rows this call reduces
     out_shape = [jax.ShapeDtypeStruct((B, 8, C), jnp.float32)]
     out_specs = [pl.BlockSpec((1, 8, C), lambda i, j: (i, 0, 0))]
     if want_win:
         out_shape.append(jax.ShapeDtypeStruct((B, nq, C), jnp.int32))
         out_specs.append(pl.BlockSpec((1, tq, C), lambda i, j: (i, j, 0)))
     out = pl.pallas_call(
-        functools.partial(_orl_fwd_kernel, k=K, n_valid=N, tq=tq,
+        functools.partial(_orl_fwd_kernel, k=K, n_valid=nq_valid, tq=tq,
                           want_win=want_win),
         out_shape=tuple(out_shape) if want_win else out_shape[0],
         grid=(B, nq // tq),
@@ -849,8 +866,8 @@ def _orl_fwd_call(feature, idx, *, tq, exact, interpret, want_win):
         interpret=interpret,
     )(*args)
     if want_win:
-        return out[0][:, 0:1, :] / N, out[1]
-    return out[:, 0:1, :] / N
+        return out[0][:, 0:1, :] / nq_valid, out[1]
+    return out[:, 0:1, :] / nq_valid
 
 
 def _orl_bwd_call(feature, idx, win, gbar, *, tq, exact, interpret):
@@ -968,7 +985,8 @@ def hs_support_fused(feature_map: jnp.ndarray, vertices: jnp.ndarray,
                      idx: jnp.ndarray, weights: jnp.ndarray, bias: jnp.ndarray,
                      dirs: jnp.ndarray, support_num: int, out_channel: int,
                      tq: int = 0, exact: bool = False,
-                     interpret: bool = False) -> jnp.ndarray:
+                     interpret: bool = False,
+                     vertices_q: jnp.ndarray | None = None) -> jnp.ndarray:
     """Fused HS support reduction with in-kernel gather + rf.
 
     feature_map (B, N, Cin), vertices (B, N, 3), idx (B, N, K) int32,
@@ -978,6 +996,10 @@ def hs_support_fused(feature_map: jnp.ndarray, vertices: jnp.ndarray,
     f32-faithful path (split gathers + bf16x3 matmuls); ``exact=False`` the
     bf16 fast path.  Differentiable via a fused backward kernel (cotangents
     for feature_map, vertices, weights, bias, dirs).
+
+    ``vertices_q`` (B, NQ, 3) separates queries from the resident source
+    (sequence-parallel serving: idx rows/outputs follow the queries, gathers
+    address the full source).  Forward-only — SP is an inference path.
     """
     if tq <= 0:
         # swept at B=256 (docs/PERFORMANCE.md): exact tiles want more VMEM per
@@ -988,6 +1010,12 @@ def hs_support_fused(feature_map: jnp.ndarray, vertices: jnp.ndarray,
             tq = 32 if feature_map.shape[1] < 512 else 64
         else:
             tq = 64 if feature_map.shape[1] < 512 else 128
+    if vertices_q is not None:
+        out, _ = _support_fwd_call(feature_map, vertices, idx, weights, bias,
+                                   dirs, s=support_num, co=out_channel, tq=tq,
+                                   exact=exact, interpret=interpret,
+                                   want_win=False, vertices_q=vertices_q)
+        return out[:, :idx.shape[1]]
     fn = _support_diff_fn(support_num, out_channel, tq, exact, interpret)
     return fn(feature_map, vertices, idx, weights, bias, dirs)
 
@@ -996,12 +1024,20 @@ def hs_support_fused(feature_map: jnp.ndarray, vertices: jnp.ndarray,
                                              "exact", "interpret"))
 def hs_surface_fused(vertices: jnp.ndarray, idx: jnp.ndarray, dirs: jnp.ndarray,
                      support_num: int, out_channel: int, tq: int = 0,
-                     exact: bool = False,
-                     interpret: bool = False) -> jnp.ndarray:
+                     exact: bool = False, interpret: bool = False,
+                     vertices_q: jnp.ndarray | None = None) -> jnp.ndarray:
     """Fused surface-layer reduction: vertices (B, N, 3), idx (B, N, K),
-    dirs (3, S·Co) -> (B, N, Co) f32 theta-only reduction.  Differentiable."""
+    dirs (3, S·Co) -> (B, N, Co) f32 theta-only reduction.  Differentiable.
+    ``vertices_q`` separates queries from the resident source (SP serving,
+    forward-only)."""
     if tq <= 0:
         tq = 64 if exact else 128  # re-swept after slot pairing at B=256
+    if vertices_q is not None:
+        out, _ = _surface_fwd_call(vertices, idx, dirs, s=support_num,
+                                   co=out_channel, tq=tq, exact=exact,
+                                   interpret=interpret, want_win=False,
+                                   vertices_q=vertices_q)
+        return out[:, :idx.shape[1]]
     fn = _surface_diff_fn(support_num, out_channel, tq, exact, interpret)
     return fn(vertices, idx, dirs)
 

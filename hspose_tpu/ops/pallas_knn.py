@@ -161,7 +161,7 @@ def _knn_kernel_streamed(x_ref, q_ref, out_ref, run_d, run_i, *, k: int,
 
 
 def _knn_kernel_tmaj(x_ref, qt_ref, out_ref, *, k: int, n_valid: int,
-                     use_mxu: bool, fast: bool):
+                     use_mxu: bool, fast: bool, extract: str = "mask"):
     """Candidate-major layout: distances (Npad, TQ) with candidates on the
     SUBLANE axis.  Each of the k+1 min-reductions is then a tree of elementwise
     vreg mins (Npad/8 ops) + 3 intra-vreg shuffles, instead of the lane-major
@@ -172,6 +172,16 @@ def _knn_kernel_tmaj(x_ref, qt_ref, out_ref, *, k: int, n_valid: int,
     qt_ref: (1, D_pad, TQ) the query tile TRANSPOSED;
     out_ref: (1, kk, TQ) int32 — row j holds the j-th neighbour of every query
     (the wrapper transposes back).
+
+    ``extract`` (fast path only — the packed keys are UNIQUE, indices live in
+    the low bits):
+      * "mask": per pass, min then mask the winner out of the carried tile —
+        the carried where() rematerializes the (Npad, TQ) tile in VMEM every
+        pass (N reads + N writes per extraction);
+      * "thresh": the j-th min is min over {key > m_(j-1)} — the tile is never
+        mutated, so each pass is a read-only sweep (no writeback);
+      * "pair": two smallest per sweep via a (m1, m2) running-pair fold, with
+        threshold chaining between sweeps — halves the number of tile sweeps.
     """
     x = x_ref[0]  # (Npad, D)
     npad = x.shape[0]
@@ -200,12 +210,72 @@ def _knn_kernel_tmaj(x_ref, qt_ref, out_ref, *, k: int, n_valid: int,
         d_bits = jax.lax.bitcast_convert_type(jnp.maximum(d, 0.0), jnp.int32)
         key = jnp.where(row < n_valid, (d_bits & ~_IDX_MASK) | row, _INT_BIG)
 
-        def extract(j, key):
+        if extract == "thresh":
             m = jnp.min(key, axis=0)  # (TQ,)
-            out_ref[0, j] = m & _IDX_MASK
-            return jnp.where(key == m[None, :], _INT_BIG, key)
+            out_ref[0, 0] = m & _IDX_MASK
 
-        jax.lax.fori_loop(0, k, extract, key, unroll=True)
+            def ext_t(j, m):
+                # keys are unique: min over {key > m} IS the next smallest
+                m = jnp.min(jnp.where(key > m[None, :], key, _INT_BIG), axis=0)
+                out_ref[0, j] = m & _IDX_MASK
+                return m
+
+            jax.lax.fori_loop(1, k, ext_t, m, unroll=True)
+        elif extract == "pair":
+            def two_smallest(t):
+                """(R, TQ) -> two smallest per column, one sweep.
+
+                Fold halves carrying (m1, m2) elementwise pairs; finish the
+                last 8 sublanes with a min + masked second-min."""
+                m1, m2 = t, None
+                while m1.shape[0] > 8:
+                    r = m1.shape[0]
+                    h = (r + 15) // 16 * 8  # split at a sublane multiple
+                    a1, b1 = m1[:h], m1[h:]
+                    pad = h - b1.shape[0]
+                    if pad:
+                        b1 = jnp.concatenate(
+                            [b1, jnp.full((pad, b1.shape[1]), _INT_BIG,
+                                          jnp.int32)], axis=0)
+                    lo = jnp.minimum(a1, b1)
+                    hi = jnp.maximum(a1, b1)
+                    if m2 is None:
+                        m1, m2 = lo, hi
+                    else:
+                        a2, b2 = m2[:h], m2[h:]
+                        if pad:
+                            b2 = jnp.concatenate(
+                                [b2, jnp.full((pad, b2.shape[1]), _INT_BIG,
+                                              jnp.int32)], axis=0)
+                        m1 = lo
+                        m2 = jnp.minimum(hi, jnp.minimum(a2, b2))
+                first = jnp.min(m1, axis=0)
+                sec1 = jnp.min(jnp.where(m1 == first[None, :], _INT_BIG, m1),
+                               axis=0)
+                if m2 is not None:
+                    sec1 = jnp.minimum(sec1, jnp.min(m2, axis=0))
+                return first, sec1
+
+            m1, m2 = two_smallest(key)
+            out_ref[0, 0] = m1 & _IDX_MASK
+            if k > 1:
+                out_ref[0, 1] = m2 & _IDX_MASK
+
+            for i in range((k - 1) // 2):  # python loop: static store slots
+                j = 2 + i * 2
+                m1, n2 = two_smallest(
+                    jnp.where(key > m2[None, :], key, _INT_BIG))
+                out_ref[0, j] = m1 & _IDX_MASK
+                if j + 1 < k:
+                    out_ref[0, j + 1] = n2 & _IDX_MASK
+                m2 = n2
+        else:
+            def ext_m(j, key):
+                m = jnp.min(key, axis=0)  # (TQ,)
+                out_ref[0, j] = m & _IDX_MASK
+                return jnp.where(key == m[None, :], _INT_BIG, key)
+
+            jax.lax.fori_loop(0, k, ext_m, key, unroll=True)
     else:
         d = jnp.where(row < n_valid, d, _BIG)
 
@@ -232,29 +302,14 @@ def _pad_to(x, n, axis, value=0.0):
 _STREAM_THRESHOLD = 2048
 
 
-@functools.partial(jax.custom_jvp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
-@functools.partial(jax.jit,
-                   static_argnames=("k", "tq", "interpret", "fast", "ts",
-                                    "tmaj"))
-def knn_indices_pallas(points: jnp.ndarray, k: int, tq: int = 128,
-                       interpret: bool = False, fast: bool = False,
-                       ts: int = 512, tmaj: bool = True) -> jnp.ndarray:
-    """Indices of the k nearest neighbours excluding self: (B, N, D) -> (B, N, k).
-
-    Drop-in replacement for ``ops.knn.knn_indices`` built on the fused kernel.
-    Integer outputs carry no tangents; the custom_jvp below makes that explicit so
-    the kernel can sit inside differentiated training graphs (pallas_call itself
-    has no autodiff rule).
-
-    Up to ``_STREAM_THRESHOLD`` padded points the whole source cloud sits in
-    VMEM; beyond that, source blocks of ``ts`` points stream through VMEM with a
-    running top-k merge, so memory stays flat in N.  NB the streamed path (and
-    the flat path above 2^11 padded points, where the index no longer fits the
-    packed key) always runs the exact extraction — ``fast=True`` is a no-op
-    there, so large-N callers get exact-mode performance characteristics.
-    """
+def _knn_pallas_impl(points: jnp.ndarray, source: jnp.ndarray, k: int,
+                     tq: int, interpret: bool, fast: bool, ts: int,
+                     tmaj: bool, extract: str = "mask") -> jnp.ndarray:
+    """Shared body: queries ``points`` (B, N, D) against candidates ``source``
+    (B, M, D).  ``source`` must contain every query row (self-drop contract)."""
     B, N, D = points.shape
-    npad = ((N + 127) // 128) * 128
+    M = source.shape[1]
+    npad = ((M + 127) // 128) * 128
     nq = ((N + tq - 1) // tq) * tq
     dtype = points.dtype if points.dtype == jnp.bfloat16 else jnp.float32
     use_mxu = D > 8
@@ -264,11 +319,11 @@ def knn_indices_pallas(points: jnp.ndarray, k: int, tq: int = 128,
     q = _pad_to(points.astype(dtype), nq, 1)
 
     if npad > _STREAM_THRESHOLD:
-        npad = ((N + ts - 1) // ts) * ts
+        npad = ((M + ts - 1) // ts) * ts
         n_blocks = npad // ts
-        x = _pad_to(points.astype(dtype), npad, 1)
+        x = _pad_to(source.astype(dtype), npad, 1)
         out = pl.pallas_call(
-            functools.partial(_knn_kernel_streamed, k=kk, n_valid=N, ts=ts,
+            functools.partial(_knn_kernel_streamed, k=kk, n_valid=M, ts=ts,
                               n_blocks=n_blocks, use_mxu=use_mxu),
             out_shape=jax.ShapeDtypeStruct((B, nq, kk), jnp.int32),
             grid=(B, nq // tq, n_blocks),
@@ -284,7 +339,7 @@ def knn_indices_pallas(points: jnp.ndarray, k: int, tq: int = 128,
         return out[:, :N, 1:]
 
     # flat path: pad source with far-away sentinels, queries with zeros
-    x = _pad_to(points.astype(dtype), npad, 1)
+    x = _pad_to(source.astype(dtype), npad, 1)
     if fast and npad > (1 << _IDX_BITS):
         fast = False  # index no longer fits the packed key; fall back to exact
 
@@ -294,8 +349,8 @@ def knn_indices_pallas(points: jnp.ndarray, k: int, tq: int = 128,
         d_blk = max(8, D)
         qt = _pad_to(jnp.swapaxes(q, 1, 2), d_blk, 1)  # (B, D_pad, nq)
         out = pl.pallas_call(
-            functools.partial(_knn_kernel_tmaj, k=kk, n_valid=N,
-                              use_mxu=use_mxu, fast=fast),
+            functools.partial(_knn_kernel_tmaj, k=kk, n_valid=M,
+                              use_mxu=use_mxu, fast=fast, extract=extract),
             out_shape=jax.ShapeDtypeStruct((B, kk, nq), jnp.int32),
             grid=(B, nq // tq),
             in_specs=[
@@ -310,7 +365,7 @@ def knn_indices_pallas(points: jnp.ndarray, k: int, tq: int = 128,
     kernel = _knn_kernel_fast if fast else _knn_kernel
     grid = (B, nq // tq)
     out = pl.pallas_call(
-        functools.partial(kernel, k=kk, n_valid=N, use_mxu=use_mxu),
+        functools.partial(kernel, k=kk, n_valid=M, use_mxu=use_mxu),
         out_shape=jax.ShapeDtypeStruct((B, nq, kk), jnp.int32),
         grid=grid,
         in_specs=[
@@ -323,11 +378,64 @@ def knn_indices_pallas(points: jnp.ndarray, k: int, tq: int = 128,
     return out[:, :N, 1:]
 
 
+@functools.partial(jax.custom_jvp, nondiff_argnums=(1, 2, 3, 4, 5, 6, 7))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "tq", "interpret", "fast", "ts",
+                                    "tmaj", "extract"))
+def knn_indices_pallas(points: jnp.ndarray, k: int, tq: int = 128,
+                       interpret: bool = False, fast: bool = False,
+                       ts: int = 512, tmaj: bool = True,
+                       extract: str = "mask") -> jnp.ndarray:
+    """Indices of the k nearest neighbours excluding self: (B, N, D) -> (B, N, k).
+
+    Drop-in replacement for ``ops.knn.knn_indices`` built on the fused kernel.
+    Integer outputs carry no tangents; the custom_jvp below makes that explicit so
+    the kernel can sit inside differentiated training graphs (pallas_call itself
+    has no autodiff rule).
+
+    Up to ``_STREAM_THRESHOLD`` padded points the whole source cloud sits in
+    VMEM; beyond that, source blocks of ``ts`` points stream through VMEM with a
+    running top-k merge, so memory stays flat in N.  NB the streamed path (and
+    the flat path above 2^11 padded points, where the index no longer fits the
+    packed key) always runs the exact extraction — ``fast=True`` is a no-op
+    there, so large-N callers get exact-mode performance characteristics.
+    """
+    return _knn_pallas_impl(points, points, k, tq, interpret, fast, ts, tmaj,
+                            extract)
+
+
 @knn_indices_pallas.defjvp
-def _knn_indices_jvp(k, tq, interpret, fast, ts, tmaj, primals, tangents):
+def _knn_indices_jvp(k, tq, interpret, fast, ts, tmaj, extract, primals,
+                     tangents):
     import numpy as _np
 
     (points,) = primals
-    out = knn_indices_pallas(points, k, tq, interpret, fast, ts, tmaj)
+    out = knn_indices_pallas(points, k, tq, interpret, fast, ts, tmaj, extract)
+    tangent = _np.zeros(out.shape, dtype=jax.dtypes.float0)
+    return out, tangent
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "tq", "interpret", "fast", "ts",
+                                    "tmaj"))
+def knn_indices_pallas_qs(queries: jnp.ndarray, source: jnp.ndarray, k: int,
+                          tq: int = 128, interpret: bool = False,
+                          fast: bool = False, ts: int = 512,
+                          tmaj: bool = True) -> jnp.ndarray:
+    """Two-array variant: queries (B, N, D) against source (B, M, D) -> (B, N, k)
+    source-global indices.  ``source`` must contain every query row (the k+1
+    self-drop contract, same as the single-array form) — the sequence-parallel
+    serving path satisfies this by passing a shard of the all-gathered cloud."""
+    return _knn_pallas_impl(queries, source, k, tq, interpret, fast, ts, tmaj)
+
+
+@knn_indices_pallas_qs.defjvp
+def _knn_indices_qs_jvp(k, tq, interpret, fast, ts, tmaj, primals, tangents):
+    import numpy as _np
+
+    queries, source = primals
+    out = knn_indices_pallas_qs(queries, source, k, tq, interpret, fast, ts,
+                                tmaj)
     tangent = _np.zeros(out.shape, dtype=jax.dtypes.float0)
     return out, tangent
