@@ -304,7 +304,7 @@ _STREAM_THRESHOLD = 2048
 
 def _knn_pallas_impl(points: jnp.ndarray, source: jnp.ndarray, k: int,
                      tq: int, interpret: bool, fast: bool, ts: int,
-                     tmaj: bool, extract: str = "mask") -> jnp.ndarray:
+                     tmaj: bool, extract: str = "thresh") -> jnp.ndarray:
     """Shared body: queries ``points`` (B, N, D) against candidates ``source``
     (B, M, D).  ``source`` must contain every query row (self-drop contract)."""
     B, N, D = points.shape
@@ -385,7 +385,7 @@ def _knn_pallas_impl(points: jnp.ndarray, source: jnp.ndarray, k: int,
 def knn_indices_pallas(points: jnp.ndarray, k: int, tq: int = 128,
                        interpret: bool = False, fast: bool = False,
                        ts: int = 512, tmaj: bool = True,
-                       extract: str = "mask") -> jnp.ndarray:
+                       extract: str = "thresh") -> jnp.ndarray:
     """Indices of the k nearest neighbours excluding self: (B, N, D) -> (B, N, k).
 
     Drop-in replacement for ``ops.knn.knn_indices`` built on the fused kernel.

@@ -50,6 +50,19 @@ def test_tmaj_matches_lane_major(rng):
         np.testing.assert_array_equal(a, b, err_msg=f"fast={fast}")
 
 
+def test_extract_modes_identical(rng):
+    """All fast-path extraction strategies (mask / thresh / pair) must return
+    bit-identical indices — packed keys are unique, so the j-th smallest is
+    well-defined.  thresh is the production default (measured ~11% faster
+    on-chip: read-only sweeps, no per-pass tile writeback)."""
+    pts = rng.normal(scale=0.2, size=(2, 1028, 3)).astype(np.float32)
+    outs = [np.asarray(knn_indices_pallas(jnp.asarray(pts), 20, interpret=True,
+                                          fast=True, extract=m))
+            for m in ("mask", "thresh", "pair")]
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])
+
+
 def test_fast_mode_neighbor_overlap(rng):
     """Packed-key fast mode truncates distances to ~2^-12 relative — pin the
     neighbour-set agreement vs exact mode at production size (N=1028, k=20):
