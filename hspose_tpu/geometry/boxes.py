@@ -95,13 +95,17 @@ def pairwise_3d_iou(pred_RTs: np.ndarray, pred_scales: np.ndarray,
 
 
 def pairwise_degree_cm(pred_RTs: np.ndarray, gt_RTs: np.ndarray,
-                       y_sym: np.ndarray) -> np.ndarray:
+                       y_sym: np.ndarray, clip_cos: bool = False) -> np.ndarray:
     """Pairwise (P, G, 2) [rotation error in degrees, translation error in cm].
 
     Matches ``compute_RT_degree_cm_symmetry`` (evaluation/eval_utils_v1.py:94-167):
     rotations are first normalized by the cube root of their determinant; pairs whose
     gt class is y-axis symmetric (``y_sym`` (G,) bool — bottle/can/bowl, or mug with
     hidden handle) compare only the transformed y axes; others use the trace formula.
+
+    ``clip_cos=True`` clips the arccos argument to [-1, 1] — the LEGACY metric's
+    behaviour (``compute_RT_errors``, evaluation/eval_utils.py:210), where rounding
+    past ±1 yields 0°/180° instead of the live metric's NaN.
     """
     P, G = len(pred_RTs), len(gt_RTs)
     out = np.zeros((P, G, 2), dtype=np.float64)
@@ -127,9 +131,13 @@ def pairwise_degree_cm(pred_RTs: np.ndarray, gt_RTs: np.ndarray,
     # the arccos argument — out-of-range values become NaN, and NaN errors compare
     # False against thresholds (i.e. they match), which is reference behaviour.
     traces = np.einsum("pij,gij->pg", R1, R2)
+    cos_full = (traces - 1.0) / 2.0
+    if clip_cos:
+        cos_y = np.clip(cos_y, -1.0, 1.0)
+        cos_full = np.clip(cos_full, -1.0, 1.0)
     with np.errstate(invalid="ignore"):
         theta_y = np.arccos(cos_y)
-        theta_full = np.arccos((traces - 1.0) / 2.0)
+        theta_full = np.arccos(cos_full)
 
     theta = np.where(y_sym[None, :], theta_y, theta_full)
     out[..., 0] = theta * 180.0 / np.pi

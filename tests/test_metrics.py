@@ -223,3 +223,88 @@ class TestReferenceParity:
 
         np.testing.assert_allclose(our_iou, ref_iou, atol=1e-9)
         np.testing.assert_allclose(our_pose, ref_pose, atol=1e-9)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not available")
+class TestLegacyReferenceParity:
+    """Fuzz parity for the LEGACY buffered compute_mAP (eval_utils.py:296-464)."""
+
+    def _fuzz_results(self, rng, n_images=6):
+        results = []
+        for _ in range(n_images):
+            n_gt = int(rng.integers(1, 4))
+            n_pred = int(rng.integers(0, 5))
+            gt_ids = rng.integers(1, 7, n_gt)
+            pred_ids = rng.integers(1, 7, n_pred)
+            gt_R = _rot(rng, n_gt)
+            pred_R = _rot(rng, max(n_pred, 1))[:n_pred]
+            gt_RTs = np.array([_make_RT(gt_R[j], rng.normal(scale=0.3, size=3))
+                               for j in range(n_gt)])
+            pred_RTs = np.array([_make_RT(pred_R[j], rng.normal(scale=0.3, size=3))
+                                 for j in range(n_pred)]).reshape(n_pred, 4, 4)
+            for j in range(min(n_gt, n_pred)):
+                if rng.random() < 0.7:
+                    pred_RTs[j] = gt_RTs[j].copy()
+                    pred_RTs[j][:3, 3] += rng.normal(scale=0.01, size=3)
+                    pred_ids[j] = gt_ids[j]
+            gt_scales = rng.uniform(0.05, 0.3, (n_gt, 3))
+            pred_scales = (gt_scales[:n_pred].copy() if n_pred <= n_gt else
+                           rng.uniform(0.05, 0.3, (n_pred, 3)))
+            results.append(_result(gt_ids, gt_RTs, gt_scales, pred_ids, pred_RTs,
+                                   pred_scales, rng.random(n_pred),
+                                   handle_vis=rng.integers(0, 2, n_gt)))
+        return results
+
+    @pytest.mark.parametrize("use_matches_for_pose", [False, True])
+    def test_legacy_map_matches_reference(self, rng, tmp_path,
+                                          use_matches_for_pose):
+        sys.path.insert(0, REF)
+        from evaluation.eval_utils import compute_mAP as ref_map
+
+        from hspose_tpu.evaluation.metrics_legacy import compute_mAP
+
+        results = self._fuzz_results(rng)
+        degree_list = [5, 10, 15]
+        shift_list = [2, 5, 10]
+        iou_list = [0.1, 0.25, 0.5]
+
+        ref_out = ref_map([dict(r) for r in results], str(tmp_path),
+                          degree_list, shift_list, iou_list,
+                          iou_pose_thres=0.25,
+                          use_matches_for_pose=use_matches_for_pose)
+        our_out = compute_mAP(results, None, degree_list, shift_list, iou_list,
+                              iou_pose_thres=0.25,
+                              use_matches_for_pose=use_matches_for_pose)
+        for name, a, b in zip(("iou_aps", "pose_aps", "iou_acc", "pose_acc"),
+                              our_out, ref_out):
+            np.testing.assert_allclose(a, b, atol=1e-9, equal_nan=True,
+                                       err_msg=name)
+
+    def test_legacy_cls_ids_subset(self, rng, tmp_path):
+        """cls_ids subsets: unevaluated classes contribute ap 0 / acc NaN to the
+        reference's mean rows — replicated exactly."""
+        sys.path.insert(0, REF)
+        from evaluation.eval_utils import compute_mAP as ref_map
+
+        from hspose_tpu.evaluation.metrics_legacy import compute_mAP
+
+        results = self._fuzz_results(rng, n_images=4)
+        ref_out = ref_map([dict(r) for r in results], str(tmp_path),
+                          [10], [5], [0.25], cls_ids=[1, 3, 6])
+        our_out = compute_mAP(results, None, [10], [5], [0.25],
+                              cls_ids=[1, 3, 6])
+        for name, a, b in zip(("iou_aps", "pose_aps", "iou_acc", "pose_acc"),
+                              our_out, ref_out):
+            np.testing.assert_allclose(a, b, atol=1e-9, equal_nan=True,
+                                       err_msg=name)
+
+    def test_legacy_writes_pkl(self, rng, tmp_path):
+        from hspose_tpu.evaluation.metrics_legacy import compute_mAP
+
+        out = compute_mAP(self._fuzz_results(rng, 2), str(tmp_path), [10], [5],
+                          [0.25])
+        import pickle
+        with open(tmp_path / "mAP_Acc.pkl", "rb") as f:
+            blob = pickle.load(f)
+        np.testing.assert_array_equal(blob["iou_aps"], out[0])
+        np.testing.assert_array_equal(blob["pose_aps"], out[1])
