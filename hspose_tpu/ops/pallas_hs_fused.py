@@ -217,7 +217,8 @@ def _rf_chain_bwd(rf, norm, inv, drfn):
 # ---------------------------------------------------------------------------
 
 def _support_fwd_kernel(*refs, s: int, co: int, k: int, nf: int, nv: int,
-                        nw: int, nd: int, exact: bool, want_win: bool):
+                        nw: int, nd: int, exact: bool, want_win: bool,
+                        slots: int = 2):
     """Inputs: feat parts (nf) (1,n,cin) | verts parts (nv) (1,n,3) |
     vt parts (nv) (1,tq,3) | idx (1,tq,k_pad) | w parts (nw) (cin,S·Co) |
     b (1,S·Co) | d parts (nd) (3,S·Co).
@@ -261,34 +262,31 @@ def _support_fwd_kernel(*refs, s: int, co: int, k: int, nf: int, nv: int,
             else:
                 macc = jnp.maximum(macc, prod)
     else:
-        # serving path: process neighbour slots in PAIRS — one (2·tq, n)
-        # one-hot matmul per gather/projection instead of two (tq, n) ones.
-        # Same FLOPs, half the MXU passes, and the resident source block
-        # streams through the MXU weight registers half as often (the kernels
+        # serving path: process neighbour slots in GROUPS of ``slots`` — one
+        # (g·tq, n) one-hot matmul per gather/projection instead of g (tq, n)
+        # ones.  Same FLOPs, 1/g the MXU passes, and the resident source block
+        # streams through the MXU weight registers 1/g as often (the kernels
         # are pass-bound, not FLOP-bound — docs/PERFORMANCE.md N-scaling probe)
-        cv2 = jnp.concatenate([cv, cv], axis=0)
-        for j in range(0, k - 1, 2):
-            oh_a = iota_n == idx_ref[0, :, j:j + 1]
-            oh_b = iota_n == idx_ref[0, :, j + 1:j + 2]
+        gmax = max(1, min(slots, k))
+        for j0 in range(0, k, gmax):
+            gg = min(gmax, k - j0)
             # concat the aligned (tq, n) one-hots, not the idx column slices
             # (Mosaic can't concat vectors with mismatched lane offsets)
-            onehot = jnp.concatenate([oh_a, oh_b], axis=0).astype(jnp.bfloat16)
+            ohs = [iota_n == idx_ref[0, :, j0 + t:j0 + t + 1]
+                   for t in range(gg)]
+            onehot = (ohs[0] if gg == 1 else
+                      jnp.concatenate(ohs, axis=0)).astype(jnp.bfloat16)
+            cvg = cv if gg == 1 else jnp.concatenate([cv] * gg, axis=0)
             g = _gather(onehot, f_parts)
             gxyz = _gather(onehot, v_parts)
-            _, _, _, rfn = _rf_chain(gxyz, cv2)
+            _, _, _, rfn = _rf_chain(gxyz, cvg)
             proj = _mm(g, w_parts, exact) + b_ref[0:1]
             theta = _theta_relu(rfn, d_parts, exact)
             prod = theta * proj
-            macc = jnp.maximum(macc, jnp.maximum(prod[:tq], prod[tq:]))
-        if k % 2:
-            idx_j = idx_ref[0, :, k - 1:k]
-            onehot = (iota_n == idx_j).astype(jnp.bfloat16)
-            g = _gather(onehot, f_parts)
-            gxyz = _gather(onehot, v_parts)
-            _, _, _, rfn = _rf_chain(gxyz, cv)
-            proj = _mm(g, w_parts, exact) + b_ref[0:1]
-            theta = _theta_relu(rfn, d_parts, exact)
-            macc = jnp.maximum(macc, theta * proj)
+            m = prod[:tq]
+            for t in range(1, gg):
+                m = jnp.maximum(m, prod[t * tq:(t + 1) * tq])
+            macc = jnp.maximum(macc, m)
 
     acc = jnp.zeros((tq, co), jnp.float32)
     for j in range(s):
@@ -299,7 +297,7 @@ def _support_fwd_kernel(*refs, s: int, co: int, k: int, nf: int, nv: int,
 
 
 def _surface_fwd_kernel(*refs, s: int, co: int, k: int, nv: int, nd: int,
-                        exact: bool, want_win: bool):
+                        exact: bool, want_win: bool, slots: int = 2):
     """verts parts (nv) (1,n,3) | vt (1,tq,3) | idx | d parts (nd) ->
     out (1,tq,co) [+ win]: theta-only reduction."""
     it = iter(refs)
@@ -331,25 +329,23 @@ def _surface_fwd_kernel(*refs, s: int, co: int, k: int, nv: int, nd: int,
             else:
                 macc = jnp.maximum(macc, theta)
     else:
-        # serving path: paired slots, halving MXU pass count (see the support
-        # kernel's comment)
-        cv2 = jnp.concatenate([cv, cv], axis=0)
-        for j in range(0, k - 1, 2):
-            oh_a = iota_n == idx_ref[0, :, j:j + 1]
-            oh_b = iota_n == idx_ref[0, :, j + 1:j + 2]
-            # concat the aligned (tq, n) one-hots, not the idx column slices
-            # (Mosaic can't concat vectors with mismatched lane offsets)
-            onehot = jnp.concatenate([oh_a, oh_b], axis=0).astype(jnp.bfloat16)
+        # serving path: grouped slots, 1/slots the MXU pass count (see the
+        # support kernel's comment)
+        gmax = max(1, min(slots, k))
+        for j0 in range(0, k, gmax):
+            gg = min(gmax, k - j0)
+            ohs = [iota_n == idx_ref[0, :, j0 + t:j0 + t + 1]
+                   for t in range(gg)]
+            onehot = (ohs[0] if gg == 1 else
+                      jnp.concatenate(ohs, axis=0)).astype(jnp.bfloat16)
+            cvg = cv if gg == 1 else jnp.concatenate([cv] * gg, axis=0)
             gxyz = _gather(onehot, v_parts)
-            _, _, _, rfn = _rf_chain(gxyz, cv2)
+            _, _, _, rfn = _rf_chain(gxyz, cvg)
             theta = _theta_relu(rfn, d_parts, exact)
-            macc = jnp.maximum(macc, jnp.maximum(theta[:tq], theta[tq:]))
-        if k % 2:
-            idx_j = idx_ref[0, :, k - 1:k]
-            onehot = (iota_n == idx_j).astype(jnp.bfloat16)
-            gxyz = _gather(onehot, v_parts)
-            _, _, _, rfn = _rf_chain(gxyz, cv)
-            macc = jnp.maximum(macc, _theta_relu(rfn, d_parts, exact))
+            m = theta[:tq]
+            for t in range(1, gg):
+                m = jnp.maximum(m, theta[t * tq:(t + 1) * tq])
+            macc = jnp.maximum(macc, m)
 
     acc = jnp.zeros((tq, co), jnp.float32)
     for j in range(s):
@@ -359,7 +355,8 @@ def _surface_fwd_kernel(*refs, s: int, co: int, k: int, nv: int, nd: int,
         win_ref[0] = win
 
 
-def _orl_fwd_kernel(*refs, k: int, n_valid: int, tq: int, want_win: bool):
+def _orl_fwd_kernel(*refs, k: int, n_valid: int, tq: int, want_win: bool,
+                    slots: int = 2):
     """Fused outlier-robust-global reduction: per point, max of its KNN rows,
     summed over the tile into a per-batch (1, C) accumulator (mean finished by
     the caller).  feat parts (1, n_pad, C) resident; idx (1, tq, k_pad);
@@ -393,20 +390,20 @@ def _orl_fwd_kernel(*refs, k: int, n_valid: int, tq: int, want_win: bool):
             else:
                 macc = jnp.maximum(macc, gk)
     else:
-        # serving path: paired slots, halving MXU pass count (see the support
-        # kernel's comment)
-        for j in range(0, k - 1, 2):
-            oh_a = iota_n == idx_ref[0, :, j:j + 1]
-            oh_b = iota_n == idx_ref[0, :, j + 1:j + 2]
-            # concat the aligned (tq, n) one-hots, not the idx column slices
-            # (Mosaic can't concat vectors with mismatched lane offsets)
-            onehot = jnp.concatenate([oh_a, oh_b], axis=0).astype(jnp.bfloat16)
+        # serving path: grouped slots, 1/slots the MXU pass count (see the
+        # support kernel's comment)
+        gmax = max(1, min(slots, k))
+        for j0 in range(0, k, gmax):
+            gg = min(gmax, k - j0)
+            ohs = [iota_n == idx_ref[0, :, j0 + t:j0 + t + 1]
+                   for t in range(gg)]
+            onehot = (ohs[0] if gg == 1 else
+                      jnp.concatenate(ohs, axis=0)).astype(jnp.bfloat16)
             gk = _gather(onehot, f_parts)
-            macc = jnp.maximum(macc, jnp.maximum(gk[:tq], gk[tq:]))
-        if k % 2:
-            idx_j = idx_ref[0, :, k - 1:k]
-            onehot = (iota_n == idx_j).astype(jnp.bfloat16)
-            macc = jnp.maximum(macc, _gather(onehot, f_parts))
+            m = gk[:tq]
+            for t in range(1, gg):
+                m = jnp.maximum(m, gk[t * tq:(t + 1) * tq])
+            macc = jnp.maximum(macc, m)
 
     # padded query rows gathered row 0's features — zero them before the sum
     row = pl.program_id(1) * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, 1), 0)
@@ -665,7 +662,8 @@ def _support_prep(feature_map, vertices, idx, weights, bias, dirs, exact, tq,
 
 
 def _support_fwd_call(feature_map, vertices, idx, weights, bias, dirs, *,
-                      s, co, tq, exact, interpret, want_win, vertices_q=None):
+                      s, co, tq, exact, interpret, want_win, vertices_q=None,
+                      slots=2):
     cin, s_co = weights.shape
     N = feature_map.shape[1]
     n_src = ((N + 7) // 8) * 8
@@ -683,7 +681,7 @@ def _support_fwd_call(feature_map, vertices, idx, weights, bias, dirs, *,
 
     out = pl.pallas_call(
         functools.partial(_support_fwd_kernel, s=s, co=co, k=K, exact=exact,
-                          want_win=want_win, **dims),
+                          want_win=want_win, slots=slots, **dims),
         out_shape=tuple(out_shape) if want_win else out_shape[0],
         grid=(B, nq // tq),
         in_specs=in_specs,
@@ -765,7 +763,7 @@ def _surface_prep(vertices, idx, dirs, exact, tq, want_win, vertices_q=None):
 
 
 def _surface_fwd_call(vertices, idx, dirs, *, s, co, tq, exact, interpret,
-                      want_win, vertices_q=None):
+                      want_win, vertices_q=None, slots=2):
     s_co = dirs.shape[-1]
     N = vertices.shape[1]
     n_src = ((N + 7) // 8) * 8
@@ -782,7 +780,7 @@ def _surface_fwd_call(vertices, idx, dirs, *, s, co, tq, exact, interpret,
 
     out = pl.pallas_call(
         functools.partial(_surface_fwd_kernel, s=s, co=co, k=K, exact=exact,
-                          want_win=want_win, **dims),
+                          want_win=want_win, slots=slots, **dims),
         out_shape=tuple(out_shape) if want_win else out_shape[0],
         grid=(B, nq // tq),
         in_specs=in_specs,
@@ -847,7 +845,7 @@ def _orl_prep(feature, idx, exact, tq):
     return args, in_specs, (B, N, C, K, n_src, nq, k_pad)
 
 
-def _orl_fwd_call(feature, idx, *, tq, exact, interpret, want_win):
+def _orl_fwd_call(feature, idx, *, tq, exact, interpret, want_win, slots=2):
     args, in_specs, shp = _orl_prep(feature, idx, exact, tq)
     B, N, C, K, n_src, nq, k_pad = shp
     nq_valid = idx.shape[1]  # mean over the QUERY rows this call reduces
@@ -858,7 +856,7 @@ def _orl_fwd_call(feature, idx, *, tq, exact, interpret, want_win):
         out_specs.append(pl.BlockSpec((1, tq, C), lambda i, j: (i, j, 0)))
     out = pl.pallas_call(
         functools.partial(_orl_fwd_kernel, k=K, n_valid=nq_valid, tq=tq,
-                          want_win=want_win),
+                          want_win=want_win, slots=slots),
         out_shape=tuple(out_shape) if want_win else out_shape[0],
         grid=(B, nq // tq),
         in_specs=in_specs,
@@ -901,12 +899,12 @@ def _float0(x):
 
 
 @functools.lru_cache(maxsize=None)
-def _support_diff_fn(s, co, tq, exact, interpret):
+def _support_diff_fn(s, co, tq, exact, interpret, slots=2):
     @jax.custom_vjp
     def fn(feat, verts, idx, w, b, d):
         out, _ = _support_fwd_call(feat, verts, idx, w, b, d, s=s, co=co, tq=tq,
                                    exact=exact, interpret=interpret,
-                                   want_win=False)
+                                   want_win=False, slots=slots)
         return out[:, :feat.shape[1]]
 
     def fwd(feat, verts, idx, w, b, d):
@@ -930,12 +928,12 @@ def _support_diff_fn(s, co, tq, exact, interpret):
 
 
 @functools.lru_cache(maxsize=None)
-def _surface_diff_fn(s, co, tq, exact, interpret):
+def _surface_diff_fn(s, co, tq, exact, interpret, slots=2):
     @jax.custom_vjp
     def fn(verts, idx, d):
         out, _ = _surface_fwd_call(verts, idx, d, s=s, co=co, tq=tq,
                                    exact=exact, interpret=interpret,
-                                   want_win=False)
+                                   want_win=False, slots=slots)
         return out[:, :verts.shape[1]]
 
     def fwd(verts, idx, d):
@@ -957,11 +955,11 @@ def _surface_diff_fn(s, co, tq, exact, interpret):
 
 
 @functools.lru_cache(maxsize=None)
-def _orl_diff_fn(tq, exact, interpret):
+def _orl_diff_fn(tq, exact, interpret, slots=2):
     @jax.custom_vjp
     def fn(feat, idx):
         return _orl_fwd_call(feat, idx, tq=tq, exact=exact,
-                             interpret=interpret, want_win=False)
+                             interpret=interpret, want_win=False, slots=slots)
 
     def fwd(feat, idx):
         out, win = _orl_fwd_call(feat, idx, tq=tq, exact=exact,
@@ -980,13 +978,14 @@ def _orl_diff_fn(tq, exact, interpret):
 
 
 @functools.partial(jax.jit, static_argnames=("support_num", "out_channel", "tq",
-                                             "exact", "interpret"))
+                                             "exact", "interpret", "slots"))
 def hs_support_fused(feature_map: jnp.ndarray, vertices: jnp.ndarray,
                      idx: jnp.ndarray, weights: jnp.ndarray, bias: jnp.ndarray,
                      dirs: jnp.ndarray, support_num: int, out_channel: int,
                      tq: int = 0, exact: bool = False,
                      interpret: bool = False,
-                     vertices_q: jnp.ndarray | None = None) -> jnp.ndarray:
+                     vertices_q: jnp.ndarray | None = None,
+                     slots: int = 2) -> jnp.ndarray:
     """Fused HS support reduction with in-kernel gather + rf.
 
     feature_map (B, N, Cin), vertices (B, N, 3), idx (B, N, K) int32,
@@ -1014,18 +1013,21 @@ def hs_support_fused(feature_map: jnp.ndarray, vertices: jnp.ndarray,
         out, _ = _support_fwd_call(feature_map, vertices, idx, weights, bias,
                                    dirs, s=support_num, co=out_channel, tq=tq,
                                    exact=exact, interpret=interpret,
-                                   want_win=False, vertices_q=vertices_q)
+                                   want_win=False, vertices_q=vertices_q,
+                                   slots=slots)
         return out[:, :idx.shape[1]]
-    fn = _support_diff_fn(support_num, out_channel, tq, exact, interpret)
+    fn = _support_diff_fn(support_num, out_channel, tq, exact, interpret,
+                          slots)
     return fn(feature_map, vertices, idx, weights, bias, dirs)
 
 
 @functools.partial(jax.jit, static_argnames=("support_num", "out_channel", "tq",
-                                             "exact", "interpret"))
+                                             "exact", "interpret", "slots"))
 def hs_surface_fused(vertices: jnp.ndarray, idx: jnp.ndarray, dirs: jnp.ndarray,
                      support_num: int, out_channel: int, tq: int = 0,
                      exact: bool = False, interpret: bool = False,
-                     vertices_q: jnp.ndarray | None = None) -> jnp.ndarray:
+                     vertices_q: jnp.ndarray | None = None,
+                     slots: int = 2) -> jnp.ndarray:
     """Fused surface-layer reduction: vertices (B, N, 3), idx (B, N, K),
     dirs (3, S·Co) -> (B, N, Co) f32 theta-only reduction.  Differentiable.
     ``vertices_q`` separates queries from the resident source (SP serving,
@@ -1036,16 +1038,18 @@ def hs_surface_fused(vertices: jnp.ndarray, idx: jnp.ndarray, dirs: jnp.ndarray,
         out, _ = _surface_fwd_call(vertices, idx, dirs, s=support_num,
                                    co=out_channel, tq=tq, exact=exact,
                                    interpret=interpret, want_win=False,
-                                   vertices_q=vertices_q)
+                                   vertices_q=vertices_q, slots=slots)
         return out[:, :idx.shape[1]]
-    fn = _surface_diff_fn(support_num, out_channel, tq, exact, interpret)
+    fn = _surface_diff_fn(support_num, out_channel, tq, exact, interpret,
+                          slots)
     return fn(vertices, idx, dirs)
 
 
-@functools.partial(jax.jit, static_argnames=("tq", "exact", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tq", "exact", "interpret",
+                                             "slots"))
 def orl_global_fused(feature: jnp.ndarray, idx: jnp.ndarray, tq: int = 128,
-                     exact: bool = False,
-                     interpret: bool = False) -> jnp.ndarray:
+                     exact: bool = False, interpret: bool = False,
+                     slots: int = 2) -> jnp.ndarray:
     """Fused ORL global branch (gcn3d.get_ORL_global :211-218):
     feature (B, N, C), idx (B, N, K) -> (B, 1, C) = mean_n max_k feat[knn].
 
@@ -1053,5 +1057,5 @@ def orl_global_fused(feature: jnp.ndarray, idx: jnp.ndarray, tq: int = 128,
     the max; here the per-batch feature block stays in VMEM and only the (1, C)
     accumulator is written.  Differentiable: the backward scatters the winning
     slot's cotangent by one-hot transpose matmuls."""
-    fn = _orl_diff_fn(tq, exact, interpret)
+    fn = _orl_diff_fn(tq, exact, interpret, slots)
     return fn(feature, idx)

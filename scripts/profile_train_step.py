@@ -45,12 +45,24 @@ def timeit(name, fn, *args, iters=10):
 
 
 def main():
+    import argparse
+    import dataclasses
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--bf16", action="store_true")
+    args = ap.parse_args()
+
     cfg = default_config()
+    if args.bf16:
+        cfg = cfg.replace(model=dataclasses.replace(cfg.model,
+                                                    compute_dtype="bfloat16"))
     model = build_model(cfg)
     tx, state, train_step = build_train_step(cfg, model, jax.random.key(0))
 
     rng = np.random.default_rng(0)
-    bs, n = 16, 1028
+    bs, n = args.batch, 1028
+    print(f"batch={bs} compute_dtype={cfg.model.compute_dtype}", flush=True)
     A = rng.normal(size=(bs, 3, 3))
     Q, _ = np.linalg.qr(A)
     Q *= np.sign(np.linalg.det(Q))[:, None, None]

@@ -270,3 +270,46 @@ def test_orl_fused_f32x2_tier(rng):
     got = np.asarray(orl_global_fused(jnp.asarray(feat), jnp.asarray(idx),
                                       tq=64, exact="f32x2", interpret=True))
     np.testing.assert_allclose(got, want, rtol=0, atol=5e-5 * np.abs(want).max())
+
+
+def test_slot_groupings_bit_identical(rng):
+    """The serving path's neighbour-slot group size (slots=1/2/3/4) must not
+    change a single bit — same gathers, same reduction tree shape per slot.
+    On-chip, groups of 4 measured as a wash vs pairs (probe_slot_group.py):
+    the kernels are compute-bound after pairing, so slots=2 stays the default.
+    """
+    from hspose_tpu.ops.knn import knn_indices
+    from hspose_tpu.ops.pallas_hs_fused import (
+        hs_support_fused,
+        hs_surface_fused,
+        orl_global_fused,
+    )
+
+    B, N, K, S, co = 2, 96, 20, 7, 32
+    verts = jnp.asarray(rng.normal(scale=0.3, size=(B, N, 3)).astype(np.float32))
+    feat = jnp.asarray(rng.normal(size=(B, N, 16)).astype(np.float32))
+    idx = knn_indices(verts, K)
+    dirs = jnp.asarray(rng.normal(size=(3, S * co)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(16, S * co)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.normal(size=(S * co,)).astype(np.float32) * 0.1)
+
+    for exact in (True, False, "f32x2"):
+        ref = [np.asarray(hs_support_fused(feat, verts, idx, w, b, dirs, S, co,
+                                           exact=exact, interpret=True)),
+               np.asarray(hs_surface_fused(verts, idx, dirs, S, co,
+                                           exact=exact, interpret=True)),
+               np.asarray(orl_global_fused(feat, idx, exact=exact,
+                                           interpret=True))]
+        for g in (1, 3, 4):
+            np.testing.assert_array_equal(ref[0], np.asarray(
+                hs_support_fused(feat, verts, idx, w, b, dirs, S, co,
+                                 exact=exact, interpret=True, slots=g)),
+                err_msg=f"support exact={exact} slots={g}")
+            np.testing.assert_array_equal(ref[1], np.asarray(
+                hs_surface_fused(verts, idx, dirs, S, co, exact=exact,
+                                 interpret=True, slots=g)),
+                err_msg=f"surface exact={exact} slots={g}")
+            np.testing.assert_array_equal(ref[2], np.asarray(
+                orl_global_fused(feat, idx, exact=exact, interpret=True,
+                                 slots=g)),
+                err_msg=f"orl exact={exact} slots={g}")
