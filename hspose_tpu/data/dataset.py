@@ -194,12 +194,13 @@ class PoseTrainDataset:
         # decodes it just for im_H/im_W, load_data.py:219-227) — skip the
         # ~3 ms/sample decode and take the shape from the mask.  NOCS renders
         # color/depth/mask co-registered at the same resolution, so the mask
-        # shape IS im_H/im_W.  The header is still validated so a corrupt
+        # shape IS im_H/im_W.  The header is validated (on BOTH the native
+        # and cv2 branches) so a corrupt
         # color PNG walks to the next index like the reference's retry; a file
         # with an intact header but truncated pixel data is the one residual
         # divergence (the pose pipeline never reads color pixels) — noted in
         # docs/STATUS.md parity caveats.
-        if not os.path.exists(img_path + "_color.png"):
+        if iu.png_header_dims(img_path + "_color.png") is None:
             return retry()
         # native fast path: defer the pixel decode to the fused C++ sample op
         # (bit-exact vs the cv2 path below — tests/test_native_preproc.py);
@@ -208,9 +209,6 @@ class PoseTrainDataset:
         dims = (npp.png_dims(img_path + "_mask.png")
                 if self.cfg.native_preproc else None)
         if dims is not None:
-            # lib is known-working here, so a None color header means a bad file
-            if npp.png_dims(img_path + "_color.png") is None:
-                return retry()
             im_h, im_w = dims
         else:
             try:

@@ -17,6 +17,29 @@ import cv2
 import numpy as np
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def png_header_dims(path: str) -> Tuple[int, int] | None:
+    """(height, width) from a PNG's IHDR header, or None if the file is
+    missing/not a PNG/truncated before the header.  Pure-Python analog of the
+    native hsp_png_dims — used to validate files whose pixels are never read
+    (the color PNG contributes only existence + shape, load_data.py:219-227)
+    without paying a full decode."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(33)
+    except OSError:
+        return None
+    if len(head) < 33 or head[:8] != _PNG_SIG or head[12:16] != b"IHDR":
+        return None
+    w = int.from_bytes(head[16:20], "big")
+    h = int.from_bytes(head[20:24], "big")
+    if w <= 0 or h <= 0:
+        return None
+    return h, w
+
+
 def load_depth(depth_path: str) -> np.ndarray:
     """Decode a NOCS depth PNG: plain uint16, or RGB-encoded 256*G + B."""
     depth = cv2.imread(depth_path, -1)

@@ -188,7 +188,11 @@ def _knn_kernel_tmaj(x_ref, qt_ref, out_ref, *, k: int, n_valid: int,
     tq = qt_ref.shape[2]
 
     if use_mxu:
-        prec = (jax.lax.Precision.DEFAULT if fast
+        # bf16 inputs must take DEFAULT even when fast=False: Mosaic rejects a
+        # HIGHEST-precision matmul on bf16 vectors (same class as the streamed
+        # path's N>2048 failure — see _distance_tile)
+        prec = (jax.lax.Precision.DEFAULT
+                if fast or x.dtype == jnp.bfloat16
                 else jax.lax.Precision.HIGHEST)
         qt = qt_ref[0, :x.shape[1]]  # (D, TQ)
         inner = jax.lax.dot_general(

@@ -53,5 +53,8 @@ python -m hspose_tpu.evaluation.evaluate \
 
 echo
 echo "== REAL275 reproduction table (compare vs reference README.md:96-104) =="
-grep -E "3D IoU at|degree.*cm|Evaluation Seed" "$OUTPUT_DIR"/log_eval.txt | tail -20
+# `|| true`: with eval.eval_inference_only=true the run stops after writing
+# pred_result.pkl and the table lines don't exist — a successful run must not
+# trip pipefail on the cosmetic grep
+grep -E "3D IoU at|degree.*cm|Evaluation Seed" "$OUTPUT_DIR"/log_eval.txt | tail -20 || true
 echo "full log: $OUTPUT_DIR/log_eval.txt"

@@ -29,20 +29,8 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from bench import V5E_BF16_PEAK_FLOPS, model_flops_per_crop
+from bench import V5E_BF16_PEAK_FLOPS, train_flops_per_sample
 from hspose_tpu.config import default_config
-
-
-def train_head_flops(n: int = 1028) -> float:
-    """Matmul FLOPs of the train-only recon/face heads (per sample)."""
-    fl = 2 * n * (1286 * 512 + 512 * 512 + 512 * 256)   # conv1d_block
-    fl += 2 * n * (256 * 128 + 128 * 3)                  # recon head
-    fl += 2 * n * (771 * 512 + 512 * 256 + 256 * 128 + 128 * 30)  # face head
-    return fl
-
-
-def train_flops_per_sample(n: int = 1028) -> float:
-    return 3.0 * (model_flops_per_crop(n) + train_head_flops(n))
 
 
 def make_batch(bs: int, n: int):

@@ -281,8 +281,10 @@ class TestLegacyReferenceParity:
                                        err_msg=name)
 
     def test_legacy_cls_ids_subset(self, rng, tmp_path):
-        """cls_ids subsets: unevaluated classes contribute ap 0 / acc NaN to the
-        reference's mean rows — replicated exactly."""
+        """cls_ids subsets: unevaluated classes still contribute the
+        reference's buffer artifacts to the mean rows — IoU ap/acc 1.0 (AP
+        over the untrimmed 30000-zero match buffers, eval_utils.py:433-439)
+        and pose rows 0 — replicated exactly; do NOT 'fix' to 0/NaN."""
         sys.path.insert(0, REF)
         from evaluation.eval_utils import compute_mAP as ref_map
 
