@@ -2,8 +2,13 @@
 
 Measures the flagship metric from BASELINE.json — detection-crop pose inference
 (eval-mode PoseNet9D forward + generate_RT pose assembly) in crops/second on a
-single chip, batch 256, 1028-point clouds, the exact configuration of the batched
-REAL275 evaluation harness.
+single chip, batch 32, 1028-point clouds, the exact configuration of the batched
+REAL275 evaluation harness (``eval.eval_batch``).  Batch 32 is the measured
+serving-batch optimum: throughput rises monotonically as the device batch
+shrinks (smaller inter-op HBM working sets; the Pallas grid work per crop is
+B-independent) down to a knee at B≈24-32, with dispatch overhead biting below
+16 — full sweep in scripts/probe_serve_batch.py (B=256, the old bench shape,
+is ~5% slower on every tier).
 
 The headline value is the bf16 fast inference mode
 (``model.compute_dtype=bfloat16``): measured deviations vs the f32-exact path
@@ -208,18 +213,20 @@ def main():
     cfg_fast = cfg.replace(model=dataclasses.replace(cfg.model,
                                                      compute_dtype="bfloat16"))
     n = cfg.data.num_points
-    B = 256
+    # the serving-batch sweep optimum and the eval harness default
+    # (scripts/probe_serve_batch.py)
+    B = 32
 
-    crops_per_sec = measure_inference(cfg_fast, B=B, iters=30)
+    crops_per_sec = measure_inference(cfg_fast, B=B, iters=240)
     # the f32-faithful serving path (split-gather + bf16x3 v4 kernels) — the
     # parity/training-trust configuration
-    exact_crops_per_sec = measure_inference(cfg, B=B, iters=10)
+    exact_crops_per_sec = measure_inference(cfg, B=B, iters=80)
     # middle serving tier: 2-term-split feature gathers (~1.5e-5 relative,
     # mAP-parity evidence in scripts/fast_mode_parity.py) — one fewer MXU pass
     # per feature gather than exact
     cfg_x2 = cfg.replace(model=dataclasses.replace(cfg.model,
                                                    compute_dtype="f32x2"))
-    f32x2_crops_per_sec = measure_inference(cfg_x2, B=B, iters=10)
+    f32x2_crops_per_sec = measure_inference(cfg_x2, B=B, iters=80)
     train_step_ms = measure_train_step(cfg)
     # bf16 mixed-precision training (f32 params/losses/Ranger; sanity-verified
     # — docs/PERFORMANCE.md): the large-scale option, f32 stays the default
@@ -244,6 +251,7 @@ def main():
         "vs_baseline": round(crops_per_sec / ASSUMED_3090_CROPS_PER_SEC, 2),
         "mfu": round(mfu, 4),
         "flops_per_crop": round(model_flops_per_crop(n) / 1e9, 2),
+        "serve_batch": B,
         "exact_crops_per_sec": round(exact_crops_per_sec, 1),
         "f32x2_crops_per_sec": round(f32x2_crops_per_sec, 1),
         "train_step_ms": round(train_step_ms, 1),
