@@ -154,6 +154,30 @@ class TestTrainDataset:
                 return
         pytest.fail("mug sample never drawn")
 
+    def test_corrupt_color_header_walks_forward(self, data_cfg, rng):
+        """A color PNG with a corrupt header must retry-walk to the next index
+        like the reference's decode failure (load_data.py:219-227) — on BOTH
+        the native and the cv2 fallback branches (the header check is shared,
+        image_utils.png_header_dims)."""
+        ds = PoseTrainDataset(data_cfg)
+        color0 = os.path.join(data_cfg.dataset_dir, ds.img_list[0] + "_color.png")
+        with open(color0, "rb") as f:
+            good = f.read()
+        try:
+            with open(color0, "wb") as f:
+                f.write(b"not a png at all")
+            for native in (True, False):
+                ds_n = PoseTrainDataset(
+                    dataclasses.replace(data_cfg, native_preproc=native))
+                s = ds_n.get_sample(0, np.random.default_rng(0))
+                # image 0 holds classes [1, 6]; image 1 holds [2, 4] — a
+                # walked sample must come from image 1 (0-based cats {1, 3})
+                assert s is not None and int(s["cat_id"]) in (1, 3), \
+                    f"native={native}: corrupt color header not walked"
+        finally:
+            with open(color0, "wb") as f:
+                f.write(good)
+
     def test_batches_collate(self, data_cfg):
         ds = PoseTrainDataset(data_cfg)
         batches = list(train_batches(ds, batch_size=4, steps=3, seed=7, num_workers=0))
@@ -312,6 +336,18 @@ class TestImageUtils:
         assert (rmax - rmin) % 40 == 0
         rmin, rmax, cmin, cmax = iu.get_bbox([400, 560, 478, 638])
         assert 0 <= rmin and rmax <= 480 and 0 <= cmin and cmax <= 640
+
+    def test_png_header_dims(self, tmp_path):
+        p = str(tmp_path / "x.png")
+        cv2.imwrite(p, np.zeros((7, 11, 3), np.uint8))
+        assert iu.png_header_dims(p) == (7, 11)
+        assert iu.png_header_dims(str(tmp_path / "missing.png")) is None
+        with open(p, "wb") as f:
+            f.write(b"\x89PNG\r\n\x1a\n garbage")  # signature but no IHDR
+        assert iu.png_header_dims(p) is None
+        with open(p, "wb") as f:
+            f.write(b"JFIF not a png either")
+        assert iu.png_header_dims(p) is None
 
     def test_load_depth_roundtrip(self, tmp_path):
         d = (np.random.default_rng(0).integers(0, 3000, (32, 32))).astype(np.uint16)
