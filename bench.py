@@ -231,13 +231,15 @@ def main():
     # bf16 mixed-precision training (f32 params/losses/Ranger; sanity-verified
     # — docs/PERFORMANCE.md): the large-scale option, f32 stays the default
     train_step_bf16_ms = measure_train_step(cfg_fast)
-    # throughput-optimal training configuration: bf16 batch 64 (sweep in
+    # throughput-optimal training configuration: bf16 batch 24 (sweep in
     # scripts/train_batch_sweep.py / docs/PERFORMANCE.md — f32 is saturated at
-    # batch 16; bf16 peaks at 64 and declines by 256), sanity-verified at this
-    # batch via `scripts/train_sanity.py 2500 --batch 64 --bf16 --anneal`
-    # (rot 88.9->18.0 deg, beats the batch-16 flat baseline)
-    TRAIN_OPT_BATCH = 64
-    train_opt_ms = measure_train_step(cfg_fast, iters=10,
+    # batch 16; bf16 peaks at ~24, the same small-working-set effect as the
+    # serving-batch sweep, and declines monotonically past it), sanity-verified
+    # at this batch via `scripts/train_sanity.py 2500 --batch 24 --bf16
+    # --anneal` (rot 88.9->22.2 deg, trans 0.6 cm — beats the batch-16 flat
+    # baseline)
+    TRAIN_OPT_BATCH = 24
+    train_opt_ms = measure_train_step(cfg_fast, iters=26,
                                       batch_size=TRAIN_OPT_BATCH)
     train_samples_per_sec = TRAIN_OPT_BATCH / train_opt_ms * 1000
     train_mfu = train_samples_per_sec * train_flops_per_sample(n) \

@@ -3,8 +3,9 @@
 The reference trains at batch 16 (config/config.py:55-59, engine/train.py:65-69)
 because that is what its GPU recipe used; a TPU chip is throughput-optimal at
 much larger batches (SURVEY §2.2's batch-256 target).  This sweeps the full
-jitted train step (aug + 4 loss families + Ranger) over batch {16, 64, 128,
-256} x {float32, bfloat16} and reports ms/step, samples/s, and train-MFU.
+jitted train step (aug + 4 loss families + Ranger) over batch {16, 24, 32,
+48, 64, 128, 256} x {float32, bfloat16} and reports ms/step, samples/s, and
+train-MFU.
 
 Train-MFU: analytic matmul FLOPs of one *training* sample = 3x the eval
 forward work (forward + ~2x backward) plus 3x the train-only recon/face heads
@@ -87,7 +88,7 @@ def main():
           flush=True)
 
     for name, cfg in (("f32", cfg_f32), ("bf16", cfg_bf16)):
-        for bs in (16, 64, 128, 256):
+        for bs in (16, 24, 32, 48, 64, 128, 256):
             iters = max(4, min(15, 256 // bs * 4))
             try:
                 ms = sweep_one(cfg, bs, iters)
