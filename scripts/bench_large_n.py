@@ -8,7 +8,10 @@ in fast (bf16 fused) and exact (f32 split-gather) mode on the real chip — the
 honest "scales beyond 1028" claim of SURVEY §5.7; numeric parity at N=2056 is
 tested against the torch reference in tests/test_torch_parity.py.
 
-Batch shrinks as N grows to hold the device footprint roughly constant.
+Batch shrinks as N grows: the serving-batch sweep finding (small inter-op
+working sets win — scripts/probe_serve_batch.py) holds at every N; measured
+optima are B=32 at N=1028, B=16 at N=2056, B=8 at N=4096 (B∈{8..128} swept,
+monotone at each N, spread ~3%).
 
 Usage: nohup python -u scripts/bench_large_n.py > /tmp/bench_large_n.log &
 """
@@ -32,7 +35,7 @@ def main():
     cfg = default_config()
     cfg_fast = cfg.replace(model=dataclasses.replace(cfg.model,
                                                      compute_dtype="bfloat16"))
-    for n, b, iters in ((1028, 256, 20), (2056, 128, 10), (4096, 64, 6)):
+    for n, b, iters in ((1028, 32, 160), (2056, 16, 60), (4096, 8, 30)):
         fl = model_flops_per_crop(n) / 1e9
         for name, c in (("fast", cfg_fast), ("exact", cfg)):
             c = c.replace(data=dataclasses.replace(c.data, num_points=n))
