@@ -18,6 +18,35 @@ from hspose_tpu.models.face_recon import _bn
 from hspose_tpu.models.layers import torch_linear_init
 
 
+class _SplitDense(nn.Module):
+    """Dense over a logically-concatenated [x | extra] input WITHOUT
+    materializing the concat: y = x @ W[:Cx] + extra @ W[Cx:] + b.
+
+    Parameter-compatible with ``nn.Dense`` applied to the concat — same
+    "kernel" (Cx+Ce, features) / "bias" names, shapes and init stream — so
+    torch-converted and historical checkpoints load unchanged.  Motivation:
+    the Ts head's (B, N, 1286+3) input was the single largest XLA glue op in
+    the serving trace (concatenate.28, an ~84 MB bf16 materialization;
+    scripts/trace_serve_batch.py).  The split changes only the final f32
+    accumulation order (≤1 ulp)."""
+
+    features: int
+    kernel_init: nn.initializers.Initializer
+    bias_init: nn.initializers.Initializer
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, extra: jnp.ndarray) -> jnp.ndarray:
+        cx, ce = x.shape[-1], extra.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (cx + ce, self.features), jnp.float32)
+        bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+        k = kernel.astype(self.dtype)
+        y = (x.astype(self.dtype) @ k[:cx]
+             + extra.astype(self.dtype) @ k[cx:])
+        return y + bias.astype(self.dtype)
+
+
 class VecHead(nn.Module):
     """Shared architecture of Rot_green / Rot_red / Pose_Ts."""
 
@@ -26,14 +55,24 @@ class VecHead(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool,
-                 sp_axis: str | None = None) -> jnp.ndarray:
+                 sp_axis: str | None = None,
+                 xyz: jnp.ndarray | None = None) -> jnp.ndarray:
         """x: (B, N, C) per-point features -> (B, out_c) f32.
 
         ``sp_axis``: x holds this device's point shard; the global max-pool
-        finishes with a pmax collective (sequence-parallel serving)."""
-        x = nn.Dense(1024, kernel_init=torch_linear_init(x.shape[-1]),
-                     bias_init=torch_linear_init(x.shape[-1]), dtype=self.dtype,
-                     name="conv1")(x)
+        finishes with a pmax collective (sequence-parallel serving).
+        ``xyz``: optional extra per-point channels folded into the first
+        layer as a split matmul (the Ts head's centred points) instead of a
+        materialized concat."""
+        in_c = x.shape[-1] + (0 if xyz is None else xyz.shape[-1])
+        if xyz is None:
+            x = nn.Dense(1024, kernel_init=torch_linear_init(in_c),
+                         bias_init=torch_linear_init(in_c), dtype=self.dtype,
+                         name="conv1")(x)
+        else:
+            x = _SplitDense(1024, kernel_init=torch_linear_init(in_c),
+                            bias_init=torch_linear_init(in_c),
+                            dtype=self.dtype, name="conv1")(x, xyz)
         x = jax.nn.relu(_bn("bn1", train, self.dtype)(x))
         x = nn.Dense(256, kernel_init=torch_linear_init(1024),
                      bias_init=torch_linear_init(1024), dtype=self.dtype,
@@ -67,12 +106,17 @@ class RotationHead(nn.Module):
 
 
 class PoseTsHead(nn.Module):
-    """Pose_Ts: 6-vector split into translation residual (3) and size residual (3)."""
+    """Pose_Ts: 6-vector split into translation residual (3) and size residual (3).
+
+    Takes the 1286-d features and the centred points separately — the
+    reference's concat(feat, points) (PoseNet9D.py:40) becomes a split first
+    matmul (see _SplitDense) with identical parameters."""
 
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feat: jnp.ndarray, train: bool,
-                 sp_axis: str | None = None):
-        x = VecHead(6, dtype=self.dtype, name="vec")(feat, train, sp_axis)
+                 sp_axis: str | None = None, xyz: jnp.ndarray | None = None):
+        x = VecHead(6, dtype=self.dtype, name="vec")(feat, train, sp_axis,
+                                                     xyz=xyz)
         return x[:, 0:3], x[:, 3:6]

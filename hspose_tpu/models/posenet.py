@@ -75,8 +75,12 @@ class PoseNet9D(nn.Module):
         f_green_R = jax.nn.sigmoid(green_vec[:, 0])
         f_red_R = jax.nn.sigmoid(red_vec[:, 0])
 
-        feat_ts = jnp.concatenate([feat, centred.astype(feat.dtype)], axis=-1)  # (B, N, 1289)
-        T, s = PoseTsHead(dtype=dtype, name="ts")(feat_ts, train, sp_axis)
+        # the reference concatenates (feat | centred) into a (B, N, 1289)
+        # buffer (PoseNet9D.py:40); here the Ts head folds the 3 xyz channels
+        # into its first matmul instead — same parameters, no 84 MB concat
+        # materialization (trace: scripts/trace_serve_batch.py)
+        T, s = PoseTsHead(dtype=dtype, name="ts")(feat, train, sp_axis,
+                                                  xyz=centred.astype(feat.dtype))
         pred_T = T + center[:, 0, :]
 
         return PoseNetOutput(recon, face_normal, face_dis, face_f, p_green_R, p_red_R,
