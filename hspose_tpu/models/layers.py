@@ -348,10 +348,15 @@ def pool_layer(key: jax.Array, vertices: jnp.ndarray, feature_map: jnp.ndarray,
     """
     if sp_axis is None:
         n = vertices.shape[1]
-        pooled = jnp.max(gather_neighbors(feature_map, pool_idx), axis=2)
         pool_num = n // pooling_rate
         sample = jax.random.permutation(key, n)[:pool_num]
-        return vertices[:, sample, :], pooled[:, sample, :]
+        # neighbour-max only at the kept rows — the reference pools all n rows
+        # then drops 3/4 of them (gcn3d.Pool_layer :232-240); restricting the
+        # gather to the sampled rows is bitwise identical (rows independent)
+        # and shrinks the (B, n, 4, C) intermediate 4x
+        pooled = jnp.max(gather_neighbors(feature_map, pool_idx[:, sample, :]),
+                         axis=2)
+        return vertices[:, sample, :], pooled
 
     n_global = verts_src.shape[1]
     sp = n_global // vertices.shape[1]
