@@ -214,10 +214,11 @@ def main():
                                                      compute_dtype="bfloat16"))
     n = cfg.data.num_points
     # the serving-batch sweep optimum and the eval harness default
-    # (scripts/probe_serve_batch.py)
-    B = 32
+    # (scripts/probe_serve_batch.py; re-probed after the round-4 graph slimming
+    # — fast is flat over B=16..32, the split-gather tiers prefer 24)
+    B = 24
 
-    crops_per_sec = measure_inference(cfg_fast, B=B, iters=240)
+    crops_per_sec = measure_inference(cfg_fast, B=B, iters=320)
     # the f32-faithful serving path (split-gather + bf16x3 v4 kernels) — the
     # parity/training-trust configuration
     exact_crops_per_sec = measure_inference(cfg, B=B, iters=80)

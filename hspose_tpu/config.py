@@ -196,10 +196,11 @@ class EvalConfig:
     eval_inference_only: bool = False
     # TPU rebuild: batch detection crops across images (reference runs per-image,
     # evaluation/evaluate.py:79-119); this is the padded-crop batch size.
-    # 32 is the measured single-chip serving optimum — throughput falls ~5%
-    # by B=256 (scripts/probe_serve_batch.py); multi-chip serving wants
-    # eval_batch = 32 * dp.
-    eval_batch: int = 32
+    # 24 is the measured single-chip serving optimum — throughput falls ~5%
+    # by B=256 (scripts/probe_serve_batch.py; fast tier is flat over 16..32,
+    # the exact/f32x2 tiers gain ~1.5-2% at 24); multi-chip serving wants
+    # eval_batch = 24 * dp.
+    eval_batch: int = 24
     # maximum detections padded per image in the batched harness
     max_instances_per_image: int = 16
     # 'host': back-project + sample per crop on the host (reference semantics,
