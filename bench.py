@@ -2,13 +2,14 @@
 
 Measures the flagship metric from BASELINE.json — detection-crop pose inference
 (eval-mode PoseNet9D forward + generate_RT pose assembly) in crops/second on a
-single chip, batch 32, 1028-point clouds, the exact configuration of the batched
-REAL275 evaluation harness (``eval.eval_batch``).  Batch 32 is the measured
+single chip, batch 24, 1028-point clouds, the exact configuration of the batched
+REAL275 evaluation harness (``eval.eval_batch``).  Batch 24 is the measured
 serving-batch optimum: throughput rises monotonically as the device batch
 shrinks (smaller inter-op HBM working sets; the Pallas grid work per crop is
 B-independent) down to a knee at B≈24-32, with dispatch overhead biting below
 16 — full sweep in scripts/probe_serve_batch.py (B=256, the old bench shape,
-is ~5% slower on every tier).
+is ~5% slower on every tier; the split-gather tiers prefer 24 over 32 after
+the round-4 graph slimming).
 
 The headline value is the bf16 fast inference mode
 (``model.compute_dtype=bfloat16``): measured deviations vs the f32-exact path
@@ -165,27 +166,9 @@ def measure_train_step(cfg, iters: int = 15, batch_size: int | None = None) -> f
                                                     batch_size=batch_size))
     model = build_model(cfg)
     tx, state, train_step = build_train_step(cfg, model, jax.random.key(0))
-    rng = np.random.default_rng(0)
+    from hspose_tpu.utils.synthetic import synthetic_train_batch
     bs, n = cfg.train.batch_size, cfg.data.num_points
-    A = rng.normal(size=(bs, 3, 3))
-    Q, _ = np.linalg.qr(A)
-    Q *= np.sign(np.linalg.det(Q))[:, None, None]
-    batch = {
-        "pcl_in": jnp.asarray(rng.normal(scale=0.2, size=(bs, n, 3)), jnp.float32),
-        "cat_id": jnp.asarray((np.arange(bs) % 6).astype(np.float32)),
-        "rotation": jnp.asarray(Q, jnp.float32),
-        "translation": jnp.asarray(rng.normal(scale=0.1, size=(bs, 3)), jnp.float32),
-        "fsnet_scale": jnp.asarray(rng.normal(scale=0.01, size=(bs, 3)), jnp.float32),
-        "mean_shape": jnp.asarray(np.abs(rng.normal(size=(bs, 3))) * 0.1 + 0.1,
-                                  jnp.float32),
-        "sym_info": jnp.asarray(np.tile([[0, 1, 0, 0]], (bs, 1)), jnp.float32),
-        "aug_bb": jnp.asarray(rng.uniform(0.8, 1.2, (bs, 3)), jnp.float32),
-        "aug_rt_t": jnp.asarray(rng.normal(scale=0.01, size=(bs, 3)), jnp.float32),
-        "aug_rt_R": jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (bs, 1, 1))),
-        "model_point": jnp.asarray(rng.normal(scale=0.1, size=(bs, 1024, 3)),
-                                   jnp.float32),
-        "nocs_scale": jnp.asarray(np.abs(rng.normal(size=(bs,))) + 0.5, jnp.float32),
-    }
+    batch = jax.tree.map(jnp.asarray, synthetic_train_batch(bs, n))
     key = jax.random.key(1)
     state, m = train_step(state, batch, key)
     np.asarray(m["total_loss"])

@@ -60,13 +60,22 @@ def train(cfg: HSPoseConfig):
     if mp > n_dev:
         raise ValueError(
             f"parallel.mp={mp} exceeds the {n_dev} available device(s)")
-    dp = cfg.parallel.dp if cfg.parallel.dp > 0 else n_dev // mp
+    if max(cfg.parallel.sp, 1) > 1:
+        raise ValueError(
+            "parallel.sp (point-axis sharding) is eval-only; training uses a "
+            "(dp, mp) mesh")
+    dp_req = cfg.parallel.dp if cfg.parallel.dp > 0 else n_dev // mp
+    dp = dp_req
     while cfg.train.batch_size % dp != 0:
         dp -= 1
+    if dp < dp_req:
+        logger.warning(
+            "data axis shrunk dp=%d -> dp=%d (batch %d not divisible by %d)",
+            dp_req, dp, cfg.train.batch_size, dp_req)
     if dp * mp < n_dev:
         logger.warning(
-            "mesh shrunk to dp=%d x mp=%d (batch %d not divisible): %d of %d "
-            "devices will sit idle", dp, mp, cfg.train.batch_size, dp * mp, n_dev)
+            "mesh dp=%d x mp=%d uses %d of the %d available devices; the rest "
+            "sit idle", dp, mp, dp * mp, n_dev)
     mesh = make_mesh(dataclasses.replace(cfg.parallel, dp=dp))
     logger.info("device mesh: %s", mesh)
     # place params/opt state on the mesh: replicated for pure DP, Dense output

@@ -72,15 +72,19 @@ def batched_pose_inference(cfg: HSPoseConfig, model, params, batch_stats,
         raise ValueError("parallel.sp and parallel.mp are mutually exclusive")
     if sp > 1 and cfg.eval.recon:
         raise ValueError("eval.recon is not supported with parallel.sp")
-    dp = cfg.parallel.dp if cfg.parallel.dp > 0 else n_dev // (mp * sp)
+    dp_req = cfg.parallel.dp if cfg.parallel.dp > 0 else n_dev // (mp * sp)
+    dp = dp_req
     while B % dp != 0:
         dp -= 1
-    if dp * mp * sp < n_dev:
-        import logging
+    import logging
+    if dp < dp_req:
         logging.getLogger("eval_log").warning(
-            "mesh shrunk to dp=%d x mp=%d x sp=%d (eval_batch %d not "
-            "divisible): %d of %d devices will sit idle", dp, mp, sp, B,
-            dp * mp * sp, n_dev)
+            "data axis shrunk dp=%d -> dp=%d (eval_batch %d not divisible "
+            "by %d)", dp_req, dp, B, dp_req)
+    if dp * mp * sp < n_dev:
+        logging.getLogger("eval_log").warning(
+            "mesh dp=%d x mp=%d x sp=%d uses %d of the %d available devices; "
+            "the rest sit idle", dp, mp, sp, dp * mp * sp, n_dev)
 
     records = iter(image_records)
     try:
@@ -376,8 +380,11 @@ def evaluate(cfg: HSPoseConfig) -> Dict[str, float]:
         shift_thres_list, iou_thres_list, iou_pose_thres=0.1,
         use_matches_for_pose=True, plot_figure=True, eval_recon=cfg.eval.recon)
     if cfg.eval.recon:
-        from hspose_tpu.evaluation.metrics import aggregate_recon_metrics
-        recon_stats = aggregate_recon_metrics(pred_results, SYNSET_NAMES)
+        # compute_degree_cm_mAP(eval_recon=True) already aggregated and wrote
+        # recon_metrics.json — read it back rather than re-running the pass
+        import json
+        with open(os.path.join(output_path, "recon_metrics.json")) as f:
+            recon_stats = json.load(f)
         logger.info("recon metrics (eval_recon): %s", recon_stats)
 
     full_deg = degree_thres_list + [360]

@@ -49,9 +49,8 @@ def compute_ap_and_acc(pred_matches: np.ndarray, pred_scores: np.ndarray,
     total preds (NaN when there are no predictions, as in the reference's 0/0).
     """
     ap = compute_ap_from_matches_scores(pred_matches, pred_scores, gt_matches)
-    with np.errstate(invalid="ignore", divide="ignore"):
-        acc = np.sum(pred_matches > -1) / len(pred_matches) \
-            if len(pred_matches) else np.float64(0) / 0
+    acc = (np.sum(pred_matches > -1) / len(pred_matches)
+           if len(pred_matches) else np.nan)
     return ap, float(acc)
 
 

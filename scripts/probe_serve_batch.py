@@ -13,7 +13,10 @@ B≈24-32 and dispatch overhead biting below 16:
 
 (+5.3% fast / +5.8% exact at B=32 over the old B=256 bench shape — smaller
 inter-op HBM working sets; the per-program kernel work is B-independent.)
-B=32 is now the bench.py / eval_batch default.
+After the late round-4 graph slimming (split Ts head, sampled-row pooling) a
+re-probe moved the knee: fast is flat over B=16..32 while the split-gather
+tiers prefer 24, so **B=24** is the bench.py / eval_batch default (see
+docs/PERFORMANCE.md's serving-batch sweep section).
 """
 
 import os

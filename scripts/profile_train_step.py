@@ -60,26 +60,10 @@ def main():
     model = build_model(cfg)
     tx, state, train_step = build_train_step(cfg, model, jax.random.key(0))
 
-    rng = np.random.default_rng(0)
+    from hspose_tpu.utils.synthetic import synthetic_train_batch
     bs, n = args.batch, 1028
     print(f"batch={bs} compute_dtype={cfg.model.compute_dtype}", flush=True)
-    A = rng.normal(size=(bs, 3, 3))
-    Q, _ = np.linalg.qr(A)
-    Q *= np.sign(np.linalg.det(Q))[:, None, None]
-    batch = {
-        "pcl_in": jnp.asarray(rng.normal(scale=0.2, size=(bs, n, 3)), jnp.float32),
-        "cat_id": jnp.asarray((np.arange(bs) % 6).astype(np.float32)),
-        "rotation": jnp.asarray(Q, jnp.float32),
-        "translation": jnp.asarray(rng.normal(scale=0.1, size=(bs, 3)), jnp.float32),
-        "fsnet_scale": jnp.asarray(rng.normal(scale=0.01, size=(bs, 3)), jnp.float32),
-        "mean_shape": jnp.asarray(np.abs(rng.normal(size=(bs, 3))) * 0.1 + 0.1, jnp.float32),
-        "sym_info": jnp.asarray(np.tile([[0, 1, 0, 0]], (bs, 1)), jnp.float32),
-        "aug_bb": jnp.asarray(rng.uniform(0.8, 1.2, (bs, 3)), jnp.float32),
-        "aug_rt_t": jnp.asarray(rng.normal(scale=0.01, size=(bs, 3)), jnp.float32),
-        "aug_rt_R": jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (bs, 1, 1))),
-        "model_point": jnp.asarray(rng.normal(scale=0.1, size=(bs, 1024, 3)), jnp.float32),
-        "nocs_scale": jnp.asarray(np.abs(rng.normal(size=(bs,))) + 0.5, jnp.float32),
-    }
+    batch = jax.tree.map(jnp.asarray, synthetic_train_batch(bs, n))
     key = jax.random.key(1)
     k_aug, k_pool, k_drop = jax.random.split(key, 3)
     rngs = {"augment": k_aug, "pool": k_pool, "dropout": k_drop}

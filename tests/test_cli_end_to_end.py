@@ -44,7 +44,10 @@ def test_train_then_evaluate(train_cfg):
 
     cfg = train_cfg.replace(
         train=dataclasses.replace(train_cfg.train, resume_model=os.path.join(
-            ckpt_root, sorted(ckpts)[-1])))
+            ckpt_root, sorted(ckpts)[-1])),
+        # recon=True also covers the eval_recon wiring: per-detection
+        # chamfer/EMD production + the recon_metrics.json round-trip
+        eval=dataclasses.replace(train_cfg.eval, recon=True))
     results = evaluate(cfg)
     for key in ["IoU25", "IoU75", "5d2cm", "10d5cm"]:
         assert key in results
@@ -138,3 +141,14 @@ def test_repro_real275_runbook(data_cfg, tmp_path):
                           data_cfg.detection_dir, ckpt_path],
                          capture_output=True, text=True, timeout=60, env=env)
     assert bad.returncode != 0 and "docs/DATA.md" in bad.stderr
+
+
+def test_train_rejects_eval_only_sp(train_cfg):
+    """parallel.sp (point-axis sharding, parallel/sp.py) is a serving-only
+    layout; train() must reject it loudly instead of silently dropping it."""
+    from hspose_tpu.engine.train import train
+
+    cfg = train_cfg.replace(
+        parallel=dataclasses.replace(train_cfg.parallel, sp=2))
+    with pytest.raises(ValueError, match="eval-only"):
+        train(cfg)
