@@ -47,8 +47,13 @@ class DataConfig:
     # warps).  Shares the kernel with eval.sample_mode=device.
     sample_mode: str = "host"
 
-    # host pipeline
-    num_workers: int = 8
+    # host pipeline.  -1 (default) auto-sizes the loader worker-process pool
+    # from the host's CPU count (data/dataset.py::resolve_num_workers — the
+    # reference hardcodes num_workers=20, engine/train.py:65-69); an explicit
+    # value is honored as-is.  The train loop warns when the pool's projected
+    # throughput (measured ~121 samples/s/core, docs/PERFORMANCE.md) is below
+    # the measured TPU step rate — i.e. when the host would starve the chip.
+    num_workers: int = -1
     prefetch: int = 4
     # fused C++ decode+crop+backprojection (native/preproc.cpp): bit-exact vs
     # the cv2/numpy path (tests/test_native_preproc.py), 1.8x faster per train

@@ -192,15 +192,14 @@ class PoseTrainDataset:
 
         # the color PNG contributes only its existence + shape (the reference
         # decodes it just for im_H/im_W, load_data.py:219-227) — skip the
-        # ~3 ms/sample decode and take the shape from the mask.  NOCS renders
-        # color/depth/mask co-registered at the same resolution, so the mask
-        # shape IS im_H/im_W.  The header is validated (on BOTH the native
-        # and cv2 branches) so a corrupt
-        # color PNG walks to the next index like the reference's retry; a file
-        # with an intact header but truncated pixel data is the one residual
-        # divergence (the pose pipeline never reads color pixels) — noted in
-        # docs/STATUS.md parity caveats.
-        if iu.png_header_dims(img_path + "_color.png") is None:
+        # ~3 ms/sample pixel decode and take the shape from the mask.  NOCS
+        # renders color/depth/mask co-registered at the same resolution, so
+        # the mask shape IS im_H/im_W.  Integrity is still enforced to the
+        # reference's accept/reject semantics (on BOTH the native and cv2
+        # branches): png_color_valid walks every chunk and CRC-checks the
+        # critical ones, so a truncated or bit-corrupted color file retry-
+        # walks to the next index exactly like the reference's failed decode.
+        if iu.png_color_valid(img_path + "_color.png") is None:
             return retry()
         # native fast path: defer the pixel decode to the fused C++ sample op
         # (bit-exact vs the cv2 path below — tests/test_native_preproc.py);
@@ -370,6 +369,55 @@ def _make_batch_from(dataset: PoseTrainDataset, seed: int, step: int,
     return _collate(samples)
 
 
+# Measured host-pipeline throughput per worker core (docs/PERFORMANCE.md
+# "Host data pipeline": 5.4 ms/sample with the native fused preprocessing on
+# this rig's core class ⇒ ~121 samples/s/core).  Used only for sizing
+# heuristics and starvation warnings, never for correctness.
+WORKER_SAMPLES_PER_SEC = 121.0
+
+# Measured TPU train-step consumption rates (docs/PERFORMANCE.md training
+# batch sweep — samples/s is ~flat in batch size on one chip)
+_STEP_SAMPLES_PER_SEC = {"bfloat16": 468.0, "float32": 258.0, "f32x2": 258.0}
+
+
+def estimated_step_rate(compute_dtype: str, n_chips: int = 1) -> float:
+    """Projected device consumption in samples/s for the starvation check."""
+    return _STEP_SAMPLES_PER_SEC.get(compute_dtype, 258.0) * max(n_chips, 1)
+
+
+def resolve_num_workers(num_workers: int,
+                        step_samples_per_sec: Optional[float] = None,
+                        logger=None) -> int:
+    """Resolve ``data.num_workers`` (-1 = auto-size from host cores).
+
+    Auto mode uses ``os.cpu_count() - 1`` (one core stays with the main
+    process for dispatch/collation), floored at 1 — the analog of the
+    reference's hardcoded ``num_workers=20`` (engine/train.py:65-69) that
+    actually fits the machine it runs on.  An explicit value is honored
+    verbatim.  When ``step_samples_per_sec`` is given (the measured TPU step
+    consumption), warns if the pool's projected throughput
+    (workers × ~121 samples/s/core) cannot feed it.
+    """
+    if num_workers >= 0:
+        resolved = num_workers
+    else:
+        cores = os.cpu_count() or 1
+        resolved = max(cores - 1, 1)
+    if step_samples_per_sec and logger is not None:
+        projected = max(resolved, 1) * WORKER_SAMPLES_PER_SEC
+        if projected < step_samples_per_sec:
+            import math
+            need = math.ceil(step_samples_per_sec / WORKER_SAMPLES_PER_SEC)
+            logger.warning(
+                "loader pool of %d worker(s) projects ~%.0f samples/s "
+                "(~%.0f/s/core measured) but the device step consumes "
+                "~%.0f samples/s — the host will starve the chip; need "
+                "~%d workers (host has %s cores)",
+                resolved, projected, WORKER_SAMPLES_PER_SEC,
+                step_samples_per_sec, need, os.cpu_count())
+    return resolved
+
+
 _WORKER_DS: Optional[PoseTrainDataset] = None
 
 
@@ -402,7 +450,8 @@ def make_worker_pool(cfg: DataConfig, mode: str = "train",
     the life of the pool (reuse it across epochs — spawn + dataset construction
     is paid once).  Close with ``pool.terminate()``.
     """
-    n = num_workers if num_workers is not None else cfg.num_workers
+    n = resolve_num_workers(num_workers if num_workers is not None
+                            else cfg.num_workers)
     ctx = multiprocessing.get_context("spawn")
     return ctx.Pool(max(n, 1), initializer=_worker_init,
                     initargs=(cfg, mode, sample_mode))

@@ -40,6 +40,61 @@ def png_header_dims(path: str) -> Tuple[int, int] | None:
     return h, w
 
 
+def png_color_valid(path: str) -> Tuple[int, int] | None:
+    """Full structural + CRC integrity validation of a PNG, without decoding.
+
+    The reference fully cv2-decodes the color PNG only to read its shape and
+    retry-walks on ANY unreadable file (load_data.py:219-227).  This walks
+    every chunk to IEND and CRC-checks the critical ones (IHDR/PLTE/IDAT/IEND)
+    — the set libpng hard-fails on (ancillary-chunk CRC errors are warnings in
+    libpng's default config, so cv2 accepts those too).  Catches truncation,
+    a missing IEND, and any bit corruption of the compressed image data, at
+    crc32 speed (~0.1 ms for a VGA color PNG) instead of the ~3 ms inflate +
+    defilter of a full decode.  Returns (height, width) or None.
+    """
+    import zlib
+
+    try:
+        with open(path, "rb") as f:
+            data = f.read()
+    except OSError:
+        return None
+    n = len(data)
+    # signature + first chunk must be IHDR (libpng errors otherwise)
+    if n < 45 or data[:8] != _PNG_SIG or data[12:16] != b"IHDR":
+        return None
+    pos = 8
+    dims = None
+    saw_idat = saw_iend = False
+    while pos + 12 <= n:
+        length = int.from_bytes(data[pos:pos + 4], "big")
+        ctype = data[pos + 4:pos + 8]
+        end = pos + 8 + length
+        if length > 0x7FFFFFFF or end + 4 > n:
+            return None  # truncated chunk
+        if (ctype[0] & 0x20) == 0:  # critical chunk: CRC must hold
+            crc = int.from_bytes(data[end:end + 4], "big")
+            if (zlib.crc32(data[pos + 4:end]) & 0xFFFFFFFF) != crc:
+                return None
+        if ctype == b"IHDR":
+            if length != 13 or dims is not None:
+                return None
+            w = int.from_bytes(data[pos + 8:pos + 12], "big")
+            h = int.from_bytes(data[pos + 12:pos + 16], "big")
+            if w <= 0 or h <= 0:
+                return None
+            dims = (h, w)
+        elif ctype == b"IDAT":
+            saw_idat = True
+        elif ctype == b"IEND":
+            saw_iend = True
+            break
+        pos = end + 4
+    if dims is None or not saw_idat or not saw_iend:
+        return None
+    return dims
+
+
 def load_depth(depth_path: str) -> np.ndarray:
     """Decode a NOCS depth PNG: plain uint16, or RGB-encoded 256*G + B."""
     depth = cv2.imread(depth_path, -1)

@@ -36,6 +36,19 @@ def train(cfg: HSPoseConfig):
 
     seed = cfg.train.seed if cfg.train.seed != -1 else int(time.time())
 
+    # validate the mesh request BEFORE any expensive work (model construction,
+    # checkpoint restore, remote compiles) so an invalid config fails in
+    # milliseconds, not minutes
+    n_dev = len(jax.devices())
+    mp = max(cfg.parallel.mp, 1)
+    if mp > n_dev:
+        raise ValueError(
+            f"parallel.mp={mp} exceeds the {n_dev} available device(s)")
+    if max(cfg.parallel.sp, 1) > 1:
+        raise ValueError(
+            "parallel.sp (point-axis sharding) is eval-only; training uses a "
+            "(dp, mp) mesh")
+
     if cfg.train.debug_nan:
         # sanitizer mode: XLA re-runs the faulting computation eagerly and raises
         # FloatingPointError at the first NaN-producing primitive — the analog of
@@ -55,15 +68,6 @@ def train(cfg: HSPoseConfig):
                     cfg.train.resume_model, s_epoch, seed)
 
     # the data axis must divide the batch: use the largest qualifying mesh
-    n_dev = len(jax.devices())
-    mp = max(cfg.parallel.mp, 1)
-    if mp > n_dev:
-        raise ValueError(
-            f"parallel.mp={mp} exceeds the {n_dev} available device(s)")
-    if max(cfg.parallel.sp, 1) > 1:
-        raise ValueError(
-            "parallel.sp (point-axis sharding) is eval-only; training uses a "
-            "(dp, mp) mesh")
     dp_req = cfg.parallel.dp if cfg.parallel.dp > 0 else n_dev // mp
     dp = dp_req
     while cfg.train.batch_size % dp != 0:
@@ -84,7 +88,12 @@ def train(cfg: HSPoseConfig):
     # batches — hence the host round-trip)
     state = shard_state(mesh, jax.device_get(state))
 
-    from hspose_tpu.data.dataset import PoseTrainDataset, make_worker_pool
+    from hspose_tpu.data.dataset import (
+        PoseTrainDataset,
+        estimated_step_rate,
+        make_worker_pool,
+        resolve_num_workers,
+    )
 
     dataset = PoseTrainDataset(cfg.data, mode="train",
                                sample_mode=cfg.data.sample_mode)
@@ -92,16 +101,23 @@ def train(cfg: HSPoseConfig):
                 len(dataset.models))
     # loader worker processes (the reference's DataLoader workers,
     # engine/train.py:65-69) — one persistent pool for the whole run; threads
-    # are GIL-bound below single-thread throughput on this pipeline
-    pool = (make_worker_pool(cfg.data, "train", dataset.sample_mode)
-            if cfg.data.num_workers > 0 else None)
+    # are GIL-bound below single-thread throughput on this pipeline.
+    # num_workers=-1 auto-sizes from host cores and warns when the pool's
+    # projected throughput would starve the measured device step rate.
+    num_workers = resolve_num_workers(
+        cfg.data.num_workers,
+        estimated_step_rate(cfg.model.compute_dtype, dp), logger)
+    logger.info("loader workers: %d", num_workers)
+    pool = (make_worker_pool(cfg.data, "train", dataset.sample_mode,
+                             num_workers)
+            if num_workers > 0 else None)
 
     writer = MetricWriter(cfg.train.model_save)
     data_key = jax.random.key(seed)
 
     try:
         state = _train_loop(cfg, logger, writer, mesh, dataset, pool, state,
-                            train_step, data_key, seed, s_epoch)
+                            train_step, data_key, seed, s_epoch, num_workers)
     finally:
         # terminate the worker pool on error paths too (a debug_nan raise or a
         # checkpoint failure must not leak spawned processes)
@@ -112,13 +128,13 @@ def train(cfg: HSPoseConfig):
 
 
 def _train_loop(cfg, logger, writer, mesh, dataset, pool, state, train_step,
-                data_key, seed, s_epoch):
+                data_key, seed, s_epoch, num_workers):
     from hspose_tpu.data.dataset import train_batches
 
     for epoch in range(s_epoch, cfg.train.total_epoch):
         t0 = time.time()
         batches = train_batches(dataset, cfg.train.batch_size, cfg.train.train_steps,
-                                seed=seed + epoch * 997, num_workers=cfg.data.num_workers,
+                                seed=seed + epoch * 997, num_workers=num_workers,
                                 prefetch=cfg.data.prefetch, pool=pool)
         profile_dir = os.environ.get("HSPOSE_PROFILE_DIR")
         for i, batch in enumerate(batches):

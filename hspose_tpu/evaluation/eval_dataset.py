@@ -115,13 +115,16 @@ class PoseEvalDataset:
         with open(detection_file, "rb") as f:
             detection_dict = pickle.load(f)
 
-        # native fast path: header-only color dims (the reference decodes the
-        # full RGB just for im_h/im_w, load_data_eval.py:139-143), one fused
-        # C++ depth decode, and one threaded batch of fused crops over all
-        # instances — bit-exact vs the cv2 path (tests/test_native_preproc.py)
+        # native fast path: CRC-validated color dims without the pixel decode
+        # (the reference decodes the full RGB just for im_h/im_w,
+        # load_data_eval.py:139-143 — png_color_valid enforces the same
+        # accept/reject on corrupt files), one fused C++ depth decode, and one
+        # threaded batch of fused crops over all instances — bit-exact vs the
+        # cv2 path (tests/test_native_preproc.py)
         use_native = getattr(self.cfg, "native_preproc", True)
         depth = None
-        dims = npp.png_dims(img_path + "_color.png") if use_native else None
+        dims = (iu.png_color_valid(img_path + "_color.png")
+                if use_native else None)
         if dims is not None:
             im_h, im_w = dims
             depth = npp.decode_depth(img_path + "_depth.png")

@@ -73,6 +73,10 @@ def batched_pose_inference(cfg: HSPoseConfig, model, params, batch_stats,
     if sp > 1 and cfg.eval.recon:
         raise ValueError("eval.recon is not supported with parallel.sp")
     dp_req = cfg.parallel.dp if cfg.parallel.dp > 0 else n_dev // (mp * sp)
+    if dp_req < 1:
+        raise ValueError(
+            f"parallel.mp={mp} x parallel.sp={sp} leaves no room for a data "
+            f"axis on {n_dev} device(s) (need mp*sp <= n_devices)")
     dp = dp_req
     while B % dp != 0:
         dp -= 1
@@ -360,9 +364,12 @@ def evaluate(cfg: HSPoseConfig) -> Dict[str, float]:
         logger.info("streaming eval images through batched inference...")
         # streamed: images load in a bounded window while the previous crop
         # batches run on-device; gt fields are merged inside the harness
+        from hspose_tpu.data.dataset import resolve_num_workers
+
         pred_results, crops_per_sec = batched_pose_inference(
             cfg, model, params, batch_stats,
-            iter_eval_images(cfg, seed, cfg.data.num_workers), seed)
+            iter_eval_images(cfg, seed,
+                             resolve_num_workers(cfg.data.num_workers)), seed)
         logger.info(f"{len(pred_results)} images evaluated")
         with open(pred_path, "wb") as f:
             pickle.dump(pred_results, f)
@@ -380,11 +387,12 @@ def evaluate(cfg: HSPoseConfig) -> Dict[str, float]:
         shift_thres_list, iou_thres_list, iou_pose_thres=0.1,
         use_matches_for_pose=True, plot_figure=True, eval_recon=cfg.eval.recon)
     if cfg.eval.recon:
-        # compute_degree_cm_mAP(eval_recon=True) already aggregated and wrote
-        # recon_metrics.json — read it back rather than re-running the pass
-        import json
-        with open(os.path.join(output_path, "recon_metrics.json")) as f:
-            recon_stats = json.load(f)
+        # aggregate directly from the in-memory results (compute_degree_cm_mAP
+        # also writes recon_metrics.json for offline use, but the log line must
+        # not depend on that side-effect file existing)
+        from hspose_tpu.evaluation.metrics import aggregate_recon_metrics
+
+        recon_stats = aggregate_recon_metrics(pred_results, SYNSET_NAMES)
         logger.info("recon metrics (eval_recon): %s", recon_stats)
 
     full_deg = degree_thres_list + [360]

@@ -154,26 +154,37 @@ class TestTrainDataset:
                 return
         pytest.fail("mug sample never drawn")
 
-    def test_corrupt_color_header_walks_forward(self, data_cfg, rng):
-        """A color PNG with a corrupt header must retry-walk to the next index
-        like the reference's decode failure (load_data.py:219-227) — on BOTH
-        the native and the cv2 fallback branches (the header check is shared,
-        image_utils.png_header_dims)."""
+    def test_corrupt_color_walks_forward(self, data_cfg, rng):
+        """A corrupt color PNG must retry-walk to the next index like the
+        reference's decode failure (load_data.py:219-227) — on BOTH the native
+        and the cv2 fallback branches (the integrity check is shared,
+        image_utils.png_color_valid), for header corruption AND for a file
+        with an intact header but corrupt/truncated pixel data (the strict
+        semantics the reference's full decode enforces)."""
         ds = PoseTrainDataset(data_cfg)
         color0 = os.path.join(data_cfg.dataset_dir, ds.img_list[0] + "_color.png")
         with open(color0, "rb") as f:
             good = f.read()
+        idat = good.index(b"IDAT")
+        body_corrupt = bytearray(good)
+        body_corrupt[idat + 8] ^= 0xFF  # bit-flip inside the IDAT payload
+        variants = {
+            "header": b"not a png at all",
+            "body": bytes(body_corrupt),
+            "truncated": good[:idat + 12],
+        }
         try:
-            with open(color0, "wb") as f:
-                f.write(b"not a png at all")
-            for native in (True, False):
-                ds_n = PoseTrainDataset(
-                    dataclasses.replace(data_cfg, native_preproc=native))
-                s = ds_n.get_sample(0, np.random.default_rng(0))
-                # image 0 holds classes [1, 6]; image 1 holds [2, 4] — a
-                # walked sample must come from image 1 (0-based cats {1, 3})
-                assert s is not None and int(s["cat_id"]) in (1, 3), \
-                    f"native={native}: corrupt color header not walked"
+            for label, blob in variants.items():
+                with open(color0, "wb") as f:
+                    f.write(blob)
+                for native in (True, False):
+                    ds_n = PoseTrainDataset(
+                        dataclasses.replace(data_cfg, native_preproc=native))
+                    s = ds_n.get_sample(0, np.random.default_rng(0))
+                    # image 0 holds classes [1, 6]; image 1 holds [2, 4] — a
+                    # walked sample must come from image 1 (0-based cats {1, 3})
+                    assert s is not None and int(s["cat_id"]) in (1, 3), \
+                        f"native={native}: corrupt color ({label}) not walked"
         finally:
             with open(color0, "wb") as f:
                 f.write(good)
@@ -329,6 +340,55 @@ class TestDevicePreprocessParity:
         assert 0.4 < med < 0.9
 
 
+class TestWorkerAutosize:
+    """data.num_workers=-1 auto-sizes the loader pool from host cores and the
+    train loop warns when the pool cannot feed the measured step rate
+    (reference analog: the hardcoded num_workers=20, engine/train.py:65-69)."""
+
+    def test_explicit_honored(self):
+        from hspose_tpu.data.dataset import resolve_num_workers
+        assert resolve_num_workers(0) == 0
+        assert resolve_num_workers(7) == 7
+
+    def test_auto_from_cpu_count(self, monkeypatch):
+        import hspose_tpu.data.dataset as dsm
+        monkeypatch.setattr(dsm.os, "cpu_count", lambda: 12)
+        assert dsm.resolve_num_workers(-1) == 11
+        monkeypatch.setattr(dsm.os, "cpu_count", lambda: 1)
+        assert dsm.resolve_num_workers(-1) == 1
+
+    def test_starvation_warning(self, monkeypatch):
+        import logging
+
+        import hspose_tpu.data.dataset as dsm
+
+        class Capture(logging.Handler):
+            def __init__(self):
+                super().__init__()
+                self.records = []
+
+            def emit(self, record):
+                self.records.append(record.getMessage())
+
+        logger = logging.getLogger("test_worker_autosize")
+        cap = Capture()
+        logger.addHandler(cap)
+        try:
+            # 2 workers x 121/s < 468/s step rate -> warn
+            monkeypatch.setattr(dsm.os, "cpu_count", lambda: 3)
+            n = dsm.resolve_num_workers(-1, dsm.estimated_step_rate("bfloat16"),
+                                        logger)
+            assert n == 2
+            assert any("starve" in m for m in cap.records)
+            # plenty of workers -> silent
+            cap.records.clear()
+            dsm.resolve_num_workers(8, dsm.estimated_step_rate("float32"),
+                                    logger)
+            assert not cap.records
+        finally:
+            logger.removeHandler(cap)
+
+
 class TestImageUtils:
     def test_get_bbox_square_and_clamped(self):
         rmin, rmax, cmin, cmax = iu.get_bbox([10, 10, 60, 90])
@@ -348,6 +408,47 @@ class TestImageUtils:
         with open(p, "wb") as f:
             f.write(b"JFIF not a png either")
         assert iu.png_header_dims(p) is None
+
+    def test_png_color_valid(self, tmp_path):
+        """Chunk-walk + critical-CRC validation must accept exactly what cv2
+        accepts and reject what a full decode would reject (truncation, bit
+        corruption of IDAT) — the reference's color-decode semantics
+        (load_data.py:219-227) without the pixel decode."""
+        p = str(tmp_path / "c.png")
+        cv2.imwrite(p, np.random.default_rng(0).integers(
+            0, 255, (9, 13, 3)).astype(np.uint8))
+        assert iu.png_color_valid(p) == (9, 13)
+        with open(p, "rb") as f:
+            good = f.read()
+        # cv2 agrees the pristine file decodes
+        assert cv2.imread(p) is not None
+
+        # 1) flip a byte inside the IDAT payload (body corruption, intact
+        # header): cv2 decode fails, and so must the CRC check
+        idat = good.index(b"IDAT")
+        bad = bytearray(good)
+        bad[idat + 8] ^= 0xFF
+        with open(p, "wb") as f:
+            f.write(bytes(bad))
+        assert cv2.imread(p) is None or iu.png_color_valid(p) is None
+        assert iu.png_color_valid(p) is None
+
+        # 2) truncate mid-IDAT: both reject
+        with open(p, "wb") as f:
+            f.write(good[:idat + 12])
+        assert iu.png_color_valid(p) is None
+
+        # 3) missing IEND (truncated after a complete IDAT chunk): reject
+        iend = good.index(b"IEND")
+        with open(p, "wb") as f:
+            f.write(good[:iend - 4])
+        assert iu.png_color_valid(p) is None
+
+        # 4) missing / non-PNG
+        assert iu.png_color_valid(str(tmp_path / "missing.png")) is None
+        with open(p, "wb") as f:
+            f.write(b"JFIF not a png")
+        assert iu.png_color_valid(p) is None
 
     def test_load_depth_roundtrip(self, tmp_path):
         d = (np.random.default_rng(0).integers(0, 3000, (32, 32))).astype(np.uint16)
