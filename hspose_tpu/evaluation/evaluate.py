@@ -243,7 +243,8 @@ def _build_forward(cfg, model, params, batch_stats, device_mode: bool,
         recon = out.recon.astype(jnp.float32)
         da, db = chamfer_distance(recon, pc)
         cmf = jnp.mean(da, axis=-1) + jnp.mean(db, axis=-1)  # (B,)
-        emd = emd_distance(recon, pc, epsilon=0.02, iters=50)
+        emd = emd_distance(recon, pc, epsilon=cfg.eval.emd_epsilon,
+                           iters=cfg.eval.emd_iters)
         return cmf, emd
 
     import jax.numpy as jnp

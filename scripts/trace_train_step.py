@@ -83,11 +83,25 @@ def analyze(out_dir, n_steps):
 
 
 def main():
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tpu_trace_train"
+    args = sys.argv[1:]
+    bs = 16
+    if "--batch" in args:
+        i = args.index("--batch")
+        bs = int(args[i + 1])
+        del args[i:i + 2]
+    bf16 = "--bf16" in args
+    args = [a for a in args if a != "--bf16"]
+    out_dir = args[0] if args else "/tmp/tpu_trace_train"
     cfg = default_config()
+    if bf16:
+        import dataclasses
+        cfg = cfg.replace(model=dataclasses.replace(cfg.model,
+                                                    compute_dtype="bfloat16"))
+    print(f"trace config: batch={bs} dtype={cfg.model.compute_dtype}",
+          flush=True)
     model = build_model(cfg)
     tx, state, train_step = build_train_step(cfg, model, jax.random.key(0))
-    batch = make_batch(16, cfg.data.num_points)
+    batch = make_batch(bs, cfg.data.num_points)
     key = jax.random.key(1)
 
     state, m = train_step(state, batch, key)
