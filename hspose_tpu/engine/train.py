@@ -170,6 +170,9 @@ def _train_loop(cfg, logger, writer, mesh, dataset, pool, state, train_step,
 
 
 def main(argv=None):
+    from hspose_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
     cfg = parse_overrides(sys.argv[1:] if argv is None else argv)
     os.makedirs(cfg.train.model_save, exist_ok=True)
     train(cfg)

@@ -425,6 +425,9 @@ def evaluate(cfg: HSPoseConfig) -> Dict[str, float]:
 
 
 def main(argv=None):
+    from hspose_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
     cfg = parse_overrides(sys.argv[1:] if argv is None else argv)
     evaluate(cfg)
 

@@ -33,7 +33,7 @@ HEADLINE_BUDGET_PTS = 0.3
 
 
 def map_table(model, params, batch_stats, n_crops=1024, eval_bs=256,
-              crops_per_image=4, seed=123):
+              crops_per_image=4, seed=123, easy=False):
     """Headline mAP metrics for one serving mode over n_crops held-out crops.
 
     Mirrors the production path exactly: jitted eval_forward + generate_RT give
@@ -61,7 +61,7 @@ def map_table(model, params, batch_stats, n_crops=1024, eval_bs=256,
 
     results = []
     for start in range(0, n_crops, eval_bs):
-        batch = make_batch(rng, eval_bs, 1028, mean_shape)
+        batch = make_batch(rng, eval_bs, 1028, mean_shape, easy=easy)
         key = jax.random.key(1000 + start)
         RT, s = forward(jnp.asarray(batch["pcl_in"]),
                         jnp.asarray(batch["cat_id"].astype(np.int32)),
@@ -107,7 +107,7 @@ def map_table(model, params, batch_stats, n_crops=1024, eval_bs=256,
     }
 
 
-def main(steps=2500):
+def main(steps=2500, easy=False):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -120,27 +120,40 @@ def main(steps=2500):
     from hspose_tpu.models.hspose import build_model, eval_forward
 
     cfg = default_config()
+    # --easy: the probe model needs real mass in the 5-deg/2cm bins for the
+    # tier study to test anything there — upright-pose distribution (see
+    # train_sanity.upright_rotations) + the measured bf16 batch-24 anneal
+    # recipe (docs/PERFORMANCE.md training batch sweep), longer schedule
+    train_bs = 24 if easy else 16
+    lr = 3e-4 * train_bs / 16
     cfg = cfg.replace(optim=dataclasses.replace(cfg.optim, warmup_iters=100,
-                                                lr=3e-4))
+                                                lr=lr))
+    if easy:
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, train_steps=steps, total_epoch=1, batch_size=train_bs))
     mean_shape = np.array([0.12, 0.18, 0.12], np.float32)
     model_f32 = build_model(cfg)
     cfg_bf16 = cfg.replace(model=dataclasses.replace(cfg.model,
                                                      compute_dtype="bfloat16"))
     model_bf16 = build_model(cfg_bf16)
 
-    _, state, train_step = build_train_step(cfg, model_f32, jax.random.key(0))
+    train_model = model_bf16 if easy else model_f32
+    train_cfg = cfg_bf16 if easy else cfg
+    _, state, train_step = build_train_step(train_cfg, train_model,
+                                            jax.random.key(0))
     rng = np.random.default_rng(0)
     key = jax.random.key(1)
     for i in range(steps):
         batch = {k: jnp.asarray(v) for k, v in
-                 make_batch(rng, 16, cfg.data.num_points, mean_shape).items()}
+                 make_batch(rng, train_bs, cfg.data.num_points, mean_shape,
+                            easy=easy).items()}
         state, metrics = train_step(state, batch, key)
         if i % 500 == 0:
             print(f"step {i}: loss {float(np.asarray(metrics['total_loss'])):.3f}",
                   flush=True)
 
     held_out = make_batch(np.random.default_rng(123), 64, cfg.data.num_points,
-                          mean_shape)
+                          mean_shape, easy=easy)
     results = {}
     rts = {}
     for name, model in [("f32-exact", model_f32), ("bf16-fast", model_bf16)]:
@@ -208,9 +221,10 @@ def main(steps=2500):
     print("mAP-resolution study (1024 crops x 3 modes) ...", flush=True)
     model_x2 = build_model(cfg.replace(model=dataclasses.replace(
         cfg.model, compute_dtype="f32x2")))
-    table_f32 = map_table(model_f32, state.params, state.batch_stats)
-    table_bf16 = map_table(model_bf16, state.params, state.batch_stats)
-    table_x2 = map_table(model_x2, state.params, state.batch_stats)
+    table_f32 = map_table(model_f32, state.params, state.batch_stats, easy=easy)
+    table_bf16 = map_table(model_bf16, state.params, state.batch_stats,
+                           easy=easy)
+    table_x2 = map_table(model_x2, state.params, state.batch_stats, easy=easy)
     worst_map = 0.0
     print(f"{'metric':>8s} | {'f32-exact':>9s} | {'f32x2':>9s} | "
           f"{'bf16-fast':>9s} | worst delta")
@@ -223,9 +237,18 @@ def main(steps=2500):
     map_ok = worst_map <= HEADLINE_BUDGET_PTS
     print(f"worst headline delta: {worst_map:.3f} pts "
           f"(budget {HEADLINE_BUDGET_PTS})", flush=True)
+    if easy:
+        # the study only tests the tight bins if the probe model puts real
+        # mass there (VERDICT r4 weak-point 2: a near-empty 5d2cm bin deflates
+        # deltas by construction)
+        mass_ok = table_f32["5d2cm"] >= 20.0
+        print(f"5d2cm mass: {table_f32['5d2cm']:.1f} AP "
+              f"({'OK' if mass_ok else 'BELOW the 20-pt bar'})", flush=True)
+        map_ok = map_ok and mass_ok
     print("FAST-MODE PARITY", "PASS" if (ok and map_ok) else "FAIL", flush=True)
     return ok and map_ok
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 2500)
+    argv = [a for a in sys.argv[1:] if a != "--easy"]
+    main(int(argv[0]) if argv else 2500, easy="--easy" in sys.argv[1:])
