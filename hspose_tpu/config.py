@@ -97,11 +97,32 @@ class ModelConfig:
     # one bf16 MXU pass per matmul (~13 ms/step faster; bf16-grade gradient
     # noise, sanity-verified); True keeps bf16x3 f32-faithful gradients
     bwd_exact: bool = False
+    # support-kernel backward variant: the forward stores the winner's
+    # theta/proj values (2 extra (B, N, S·Co) f32 residuals) and the backward
+    # skips both recomputes — one fewer big MXU pass per support.  Measured a
+    # WASH at the bf16 batch-24 optimum (round-5 probe (c),
+    # docs/PERFORMANCE.md): the recompute overlaps the cotangent matmuls and
+    # the residual HBM traffic eats the FLOP saving.  Kept as a knob; numerics
+    # are identical either way (same winner, same values).
+    bwd_store: bool = False
     # debugging knob: route f32 TPU *inference* through the v3 pre-gathered
     # kernels (0-ULP HIGHEST gathers) instead of the default v4 fused kernels,
     # restoring bitwise reproducibility against pre-round-3 f32 eval outputs.
     # ~1-ulp-grade difference only; mAP-level results are identical.
     infer_v3: bool = False
+    # --- relaxed-KNN serving tier (round-5 probe, INFERENCE ONLY; training
+    # always uses the reference semantics).  Both knobs change which
+    # neighbours the backbone sees, so they are semantic relaxations gated by
+    # the 1024-crop mAP tier study (scripts/fast_mode_parity.py, 0.3-pt
+    # budget) — see docs/PERFORMANCE.md for the measured throughput/mAP trade.
+    # serve_k overrides the neighbour count k (0 = reference gcn_n_num=20);
+    # the pooled-resolution rules min(k, n//8) still apply.
+    serve_k: int = 0
+    # serve_rf_reuse reuses already-computed KNN index sets for the RF-F
+    # layers: conv_1 takes the xyz KNN (vert_idx_0) instead of its
+    # feature-space search, conv_3 takes conv_2's feature KNN — dropping two
+    # of the six serving KNN searches (ref: gcn3d.py:195-203 RF-F).
+    serve_rf_reuse: bool = False
 
 
 @dataclass(frozen=True)

@@ -87,6 +87,11 @@ class FaceRecon(nn.Module):
         """
         cfg = self.cfg
         k = cfg.gcn_n_num
+        # relaxed-KNN serving tier (inference only; mAP-gated — config.py)
+        relax = not train
+        if relax and cfg.serve_k > 0:
+            k = cfg.serve_k
+        rf_reuse = relax and cfg.serve_rf_reuse
         B, N, _ = vertices.shape
         # fast mode: bf16 features + one-pass distances + packed-key KNN selection
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
@@ -135,9 +140,11 @@ class FaceRecon(nn.Module):
         fm_0 = jax.nn.relu(fm_0)
 
         fm_0_g = ag(fm_0) if sp_axis is not None else None
-        rf_1 = knn_indices(fm_0, k, fm_0_g)  # RF-F on features (gcn3d.py:150-153)
+        # RF-F on features (gcn3d.py:150-153); relaxed tier reuses the xyz KNN
+        rf_1 = vert_idx_0 if rf_reuse else knn_indices(fm_0, k, fm_0_g)
         fm_1 = HSLayer(128, 128, cfg.gcn_sup_num, dtype=dtype,
-                     bwd_exact=cfg.bwd_exact, infer_v3=cfg.infer_v3, f32x2=f32x2, name="conv_1")(
+                     bwd_exact=cfg.bwd_exact, bwd_store=cfg.bwd_store,
+                     infer_v3=cfg.infer_v3, f32x2=f32x2, name="conv_1")(
             vertices, fm_0, rf_idx=rf_1, orl_idx=vert_idx_0, train=train,
             sp_axis=sp_axis, verts_src=verts_g, feat_src=fm_0_g)
         fm_1 = jax.nn.relu(_bn("bn1", train, dtype)(fm_1))
@@ -157,15 +164,18 @@ class FaceRecon(nn.Module):
         vert_idx_1 = knn_indices(v_pool_1, k1, vp1_g)
         rf_2 = knn_indices(fm_pool_1, k1, fmp1_g)
         fm_2 = HSLayer(128, 256, cfg.gcn_sup_num, dtype=dtype,
-                     bwd_exact=cfg.bwd_exact, infer_v3=cfg.infer_v3, f32x2=f32x2, name="conv_2")(
+                     bwd_exact=cfg.bwd_exact, bwd_store=cfg.bwd_store,
+                     infer_v3=cfg.infer_v3, f32x2=f32x2, name="conv_2")(
             v_pool_1, fm_pool_1, rf_idx=rf_2, orl_idx=vert_idx_1, train=train,
             sp_axis=sp_axis, verts_src=vp1_g, feat_src=fmp1_g)
         fm_2 = jax.nn.relu(_bn("bn2", train, dtype)(fm_2))
 
         fm_2_g = ag(fm_2) if sp_axis is not None else None
-        rf_3 = knn_indices(fm_2, k1, fm_2_g)
+        # relaxed tier: conv_3 reuses conv_2's feature-space neighbourhoods
+        rf_3 = rf_2 if rf_reuse else knn_indices(fm_2, k1, fm_2_g)
         fm_3 = HSLayer(256, 256, cfg.gcn_sup_num, dtype=dtype,
-                     bwd_exact=cfg.bwd_exact, infer_v3=cfg.infer_v3, f32x2=f32x2, name="conv_3")(
+                     bwd_exact=cfg.bwd_exact, bwd_store=cfg.bwd_store,
+                     infer_v3=cfg.infer_v3, f32x2=f32x2, name="conv_3")(
             v_pool_1, fm_2, rf_idx=rf_3, orl_idx=vert_idx_1, train=train,
             sp_axis=sp_axis, verts_src=vp1_g, feat_src=fm_2_g)
         fm_3 = jax.nn.relu(_bn("bn3", train, dtype)(fm_3))
@@ -185,7 +195,8 @@ class FaceRecon(nn.Module):
         vert_idx_2 = knn_indices(v_pool_2, k2, vp2_g)
         rf_4 = knn_indices(fm_pool_2, k2, fmp2_g)
         fm_4 = HSLayer(256, 512, cfg.gcn_sup_num, dtype=dtype,
-                     bwd_exact=cfg.bwd_exact, infer_v3=cfg.infer_v3, f32x2=f32x2, name="conv_4")(
+                     bwd_exact=cfg.bwd_exact, bwd_store=cfg.bwd_store,
+                     infer_v3=cfg.infer_v3, f32x2=f32x2, name="conv_4")(
             v_pool_2, fm_pool_2, rf_idx=rf_4, orl_idx=vert_idx_2, train=train,
             sp_axis=sp_axis, verts_src=vp2_g, feat_src=fmp2_g)
 

@@ -203,6 +203,7 @@ class HSLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     support_scan: bool = True
     bwd_exact: bool = False
+    bwd_store: bool = False  # backward skips theta/proj recompute (probe c)
     infer_v3: bool = False  # debug: v3 pre-gathered kernels for f32 inference
     f32x2: bool = False  # serving tier: 2-term feature splits (~1.5e-5) in v4 kernels
 
@@ -269,7 +270,8 @@ class HSLayer(nn.Module):
             activation = hs_support_reduce(gathered_km, rf_km, weights[:, co:],
                                            bias[co:], dir_norm, s, co, kmajor=True,
                                            exact=self.dtype == jnp.float32,
-                                           bwd_exact=self.bwd_exact)
+                                           bwd_exact=self.bwd_exact,
+                                           bwd_store=self.bwd_store)
         elif self.support_scan:
             rf_norm = neighbor_directions_normalized(vertices, rf_idx,
                                                      source=verts_src)  # (B, N, K, 3)

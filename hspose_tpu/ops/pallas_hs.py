@@ -134,9 +134,10 @@ def _theta(rf, d_ref, off, co, *, exact: bool, mxu: bool):
 
 def _support_kernel(g_ref, rf_ref, w_ref, b_ref, d_ref, o_ref, *args, s: int,
                     co: int, k_valid: int, exact: bool, theta_mxu: bool = True,
-                    want_win: bool = False):
+                    want_win: bool = False, want_vals: bool = False):
     """g (1, Kp, TQ, Cin), rf (1, Kp, TQ, 3), w (Cin, S·Co), b (1, S·Co),
-    d (3, S·Co) -> out (1, TQ, Co) [+ win (1, TQ, S·Co) i32 when want_win].
+    d (3, S·Co) -> out (1, TQ, Co) [+ win (1, TQ, S·Co) i32 when want_win,
+    + twin/pwin (1, TQ, S·Co) f32 when want_vals].
 
     Rolled loop over supports keeps the temporaries (rows, Co)-sized (an all-
     supports (rows, S·Co) version forces tiny tiles — measured slower), while the
@@ -144,8 +145,14 @@ def _support_kernel(g_ref, rf_ref, w_ref, b_ref, d_ref, o_ref, *args, s: int,
     records the first-occurrence argmax-over-k per (point, channel) — the
     backward selects by this instead of recomputing the winner, so a
     reduced-precision backward cannot misattribute gradients on near-ties.
+    ``want_vals`` also stores the winner's theta and proj values so the
+    backward can skip BOTH recomputes (probe (c) of the round-5 train-step
+    campaign — trades 2 (B, N, S·Co) f32 residuals of HBM for one big MXU
+    pass per support in the backward).
     """
     win_ref = args[0] if want_win else None
+    twin_ref = args[1] if want_vals else None
+    pwin_ref = args[2] if want_vals else None
     kp, tq, cin = g_ref.shape[1], g_ref.shape[2], g_ref.shape[3]
     g = g_ref[0].reshape(kp * tq, cin)
     rf = rf_ref[0].reshape(kp * tq, 3)
@@ -175,8 +182,14 @@ def _support_kernel(g_ref, rf_ref, w_ref, b_ref, d_ref, o_ref, *args, s: int,
         m = jnp.max(prod[:k_valid], axis=0)  # cross-vreg maxes only
         if want_win:
             eq = jnp.logical_and(prod >= m[None], k_iota < k_valid)
-            win_ref[0, :, pl.ds(off, co)] = jnp.min(
-                jnp.where(eq, k_iota, kp), axis=0)
+            ik = jnp.min(jnp.where(eq, k_iota, kp), axis=0)
+            win_ref[0, :, pl.ds(off, co)] = ik
+            if want_vals:
+                sel = (k_iota == ik[None]).astype(jnp.float32)
+                twin_ref[0, :, pl.ds(off, co)] = jnp.sum(
+                    theta.reshape(kp, tq, co) * sel, axis=0)
+                pwin_ref[0, :, pl.ds(off, co)] = jnp.sum(
+                    proj.reshape(kp, tq, co) * sel, axis=0)
         return acc + m
 
     acc = jax.lax.fori_loop(0, s, body, jnp.zeros((tq, co), jnp.float32))
@@ -304,6 +317,80 @@ def _support_bwd_kernel(g_ref, rf_ref, w_ref, b_ref, d_ref, win_ref, gbar_ref,
     drf_ref[0] = drf_acc.reshape(kp, tq, 3)
 
 
+def _support_bwd_vals_kernel(g_ref, rf_ref, w_ref, d_ref, win_ref, twin_ref,
+                             pwin_ref, gbar_ref, dg_ref, drf_ref, dw_ref,
+                             db_ref, dd_ref, *, s: int, co: int, k_valid: int,
+                             exact: bool):
+    """Backward with forward-stored winner values (probe (c)).
+
+    The standard backward (:_support_bwd_kernel) recomputes proj and theta per
+    support — one big (rows, Cin)x(Cin, Co) MXU pass each iteration.  Here the
+    forward stored the winner's theta/proj values, so per support only the
+    cotangent matmuls remain (dg, dW, drf, dd); the cotangent tensors are
+    built by broadcasting the (TQ, Co) winner values through the one-hot
+    winner selection.  Numerics identical to the recompute path (same winner,
+    same values — the forward computed them).
+    """
+    kp, tq, cin = g_ref.shape[1], g_ref.shape[2], g_ref.shape[3]
+    rows = kp * tq
+    g = g_ref[0].reshape(rows, cin).astype(jnp.float32)
+    rf = rf_ref[0].reshape(rows, 3).astype(jnp.float32)
+    gb = gbar_ref[0] / s  # (tq, co)
+
+    is_first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(is_first)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+        dd_ref[:] = jnp.zeros_like(dd_ref)
+
+    dflt = jax.lax.Precision.DEFAULT
+
+    def mm(a, b, dims):
+        if not exact:
+            return jax.lax.dot_general(a, b, dimension_numbers=(dims, ((), ())),
+                                       preferred_element_type=jnp.float32,
+                                       precision=dflt)
+        a_hi = a.astype(jnp.bfloat16)
+        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        b_hi = b.astype(jnp.bfloat16)
+        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = jax.lax.dot_general(a_hi, b_hi, dimension_numbers=(dims, ((), ())),
+                                  preferred_element_type=jnp.float32, precision=dflt)
+        out += jax.lax.dot_general(a_hi, b_lo, dimension_numbers=(dims, ((), ())),
+                                   preferred_element_type=jnp.float32, precision=dflt)
+        out += jax.lax.dot_general(a_lo, b_hi, dimension_numbers=(dims, ((), ())),
+                                   preferred_element_type=jnp.float32, precision=dflt)
+        return out
+
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (kp, tq, co), 0)
+
+    def body(j, carry):
+        dg_acc, drf_acc = carry
+        off = pl.multiple_of(j * co, co)
+        w_s = w_ref[:, pl.ds(off, co)]
+        d_s = d_ref[:, pl.ds(off, co)]
+        ik = win_ref[0, :, pl.ds(off, co)]  # (tq, co)
+        tw = twin_ref[0, :, pl.ds(off, co)]
+        pw = pwin_ref[0, :, pl.ds(off, co)]
+        sel = (k_iota == ik[None]).astype(jnp.float32)  # one-hot over k
+        dpi = (sel * (gb * tw)[None]).reshape(rows, co)
+        du = (sel * jnp.where(tw > 0, gb * pw, 0.0)[None]).reshape(rows, co)
+        dg_acc = dg_acc + mm(dpi, w_s, ((1,), (1,)))
+        drf_acc = drf_acc + mm(du, d_s, ((1,), (1,)))
+        dw_ref[:, pl.ds(off, co)] += mm(g, dpi, ((0,), (0,)))
+        db_ref[0:1, pl.ds(off, co)] += jnp.sum(dpi, axis=0, keepdims=True)
+        dd_ref[0:3, pl.ds(off, co)] += mm(rf, du, ((0,), (0,)))
+        return dg_acc, drf_acc
+
+    dg_acc, drf_acc = jax.lax.fori_loop(
+        0, s, body, (jnp.zeros((rows, cin), jnp.float32),
+                     jnp.zeros((rows, 3), jnp.float32)))
+    dg_ref[0] = dg_acc.reshape(kp, tq, cin)
+    drf_ref[0] = drf_acc.reshape(kp, tq, 3)
+
+
 def _surface_bwd_kernel(rf_ref, d_ref, win_ref, gbar_ref, drf_ref, dd_ref, *,
                         s: int, co: int, k_valid: int, exact: bool):
     """Backward of the theta-only reduction: cotangents for rf and dirs.
@@ -350,9 +437,10 @@ def _prep_kmajor(x, tq):
 
 
 def _support_pallas(g, rf, w, b2, d, *, s, co, k_valid, tq, exact, interpret,
-                    theta_mxu=True, want_win=False):
+                    theta_mxu=True, want_win=False, want_vals=False):
     """Forward pallas_call on padded k-major inputs -> (B, n_pad, Co)
-    [+ win (B, n_pad, S·Co) i32 when want_win]."""
+    [+ win (B, n_pad, S·Co) i32 when want_win, + twin/pwin f32 when
+    want_vals]."""
     B, k_pad, n_pad, cin = g.shape
     s_co = s * co
     out_shape = [jax.ShapeDtypeStruct((B, n_pad, co), jnp.float32)]
@@ -360,9 +448,14 @@ def _support_pallas(g, rf, w, b2, d, *, s, co, k_valid, tq, exact, interpret,
     if want_win:
         out_shape.append(jax.ShapeDtypeStruct((B, n_pad, s_co), jnp.int32))
         out_specs.append(pl.BlockSpec((1, tq, s_co), lambda i, j: (i, j, 0)))
+    if want_vals:
+        for _ in range(2):  # twin, pwin
+            out_shape.append(jax.ShapeDtypeStruct((B, n_pad, s_co), jnp.float32))
+            out_specs.append(pl.BlockSpec((1, tq, s_co), lambda i, j: (i, j, 0)))
     return pl.pallas_call(
         functools.partial(_support_kernel, s=s, co=co, k_valid=k_valid,
-                          exact=exact, theta_mxu=theta_mxu, want_win=want_win),
+                          exact=exact, theta_mxu=theta_mxu, want_win=want_win,
+                          want_vals=want_vals),
         out_shape=tuple(out_shape) if want_win else out_shape[0],
         grid=(B, n_pad // tq),
         in_specs=[
@@ -415,16 +508,59 @@ def _support_pallas_bwd(g, rf, w, b2, d, win, gbar, *, s, co, k_valid, tq,
     return dg, drf, dw, db[0:1], dd[0:3]
 
 
+def _support_pallas_bwd_vals(g, rf, w, d, win, twin, pwin, gbar, *, s, co,
+                             k_valid, tq, exact, interpret):
+    """Backward pallas_call for the stored-winner-values variant."""
+    B, k_pad, n_pad, cin = g.shape
+    s_co = s * co
+    tq = _pick_tq_bwd(tq, n_pad, k_pad, cin, co, s_co)
+    dg, drf, dw, db, dd = pl.pallas_call(
+        functools.partial(_support_bwd_vals_kernel, s=s, co=co,
+                          k_valid=k_valid, exact=exact),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, k_pad, n_pad, cin), jnp.float32),
+            jax.ShapeDtypeStruct((B, k_pad, n_pad, 3), jnp.float32),
+            jax.ShapeDtypeStruct((cin, s_co), jnp.float32),
+            jax.ShapeDtypeStruct((8, s_co), jnp.float32),
+            jax.ShapeDtypeStruct((8, s_co), jnp.float32),
+        ),
+        grid=(B, n_pad // tq),
+        in_specs=[
+            pl.BlockSpec((1, k_pad, tq, cin), lambda i, j: (i, 0, j, 0)),
+            pl.BlockSpec((1, k_pad, tq, 3), lambda i, j: (i, 0, j, 0)),
+            pl.BlockSpec((cin, s_co), lambda i, j: (0, 0)),
+            pl.BlockSpec((3, s_co), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, tq, s_co), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, tq, s_co), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, tq, s_co), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, tq, co), lambda i, j: (i, j, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, k_pad, tq, cin), lambda i, j: (i, 0, j, 0)),
+            pl.BlockSpec((1, k_pad, tq, 3), lambda i, j: (i, 0, j, 0)),
+            pl.BlockSpec((cin, s_co), lambda i, j: (0, 0)),
+            pl.BlockSpec((8, s_co), lambda i, j: (0, 0)),
+            pl.BlockSpec((8, s_co), lambda i, j: (0, 0)),
+        ),
+        interpret=interpret,
+    )(g, rf, w, d, win, twin, pwin, gbar)
+    return dg, drf, dw, db[0:1], dd[0:3]
+
+
 @functools.lru_cache(maxsize=None)
 def _support_diff_fn(s, co, k_valid, tq, exact, interpret, theta_mxu=True,
-                     bwd_exact=None):
+                     bwd_exact=None, bwd_store=False):
     """custom_vjp-wrapped support reduction over padded k-major tensors.
 
     ``bwd_exact`` decouples backward precision from the forward: gradients feed
     an optimizer that tolerates bf16-grade noise, so training runs the backward
     at one MXU pass per matmul (3x fewer than bf16x3) while the forward stays
     f32-faithful — the measured win is ~2/3 of the backward-kernel time
-    (docs/PERFORMANCE.md)."""
+    (docs/PERFORMANCE.md).
+
+    ``bwd_store``: the forward additionally stores the winner's theta/proj
+    values and the backward skips both recomputes — one fewer big MXU pass
+    per support, paid for with 2 (B, N, S·Co) f32 residuals (probe (c))."""
     if bwd_exact is None:
         bwd_exact = exact
 
@@ -435,17 +571,28 @@ def _support_diff_fn(s, co, k_valid, tq, exact, interpret, theta_mxu=True,
                                theta_mxu=theta_mxu)
 
     def fwd(g, rf, w, b2, d):
+        if bwd_store:
+            out, win, twin, pwin = _support_pallas(
+                g, rf, w, b2, d, s=s, co=co, k_valid=k_valid, tq=tq,
+                exact=exact, interpret=interpret, theta_mxu=theta_mxu,
+                want_win=True, want_vals=True)
+            return out, (g, rf, w, b2, d, win, twin, pwin)
         out, win = _support_pallas(g, rf, w, b2, d, s=s, co=co,
                                    k_valid=k_valid, tq=tq, exact=exact,
                                    interpret=interpret, theta_mxu=theta_mxu,
                                    want_win=True)
-        return out, (g, rf, w, b2, d, win)
+        return out, (g, rf, w, b2, d, win, None, None)
 
     def bwd(res, gbar):
-        g, rf, w, b2, d, win = res
-        dg, drf, dw, db2, dd = _support_pallas_bwd(
-            g, rf, w, b2, d, win, gbar, s=s, co=co, k_valid=k_valid, tq=tq,
-            exact=bwd_exact, interpret=interpret)
+        g, rf, w, b2, d, win, twin, pwin = res
+        if bwd_store:
+            dg, drf, dw, db2, dd = _support_pallas_bwd_vals(
+                g, rf, w, d, win, twin, pwin, gbar, s=s, co=co,
+                k_valid=k_valid, tq=tq, exact=bwd_exact, interpret=interpret)
+        else:
+            dg, drf, dw, db2, dd = _support_pallas_bwd(
+                g, rf, w, b2, d, win, gbar, s=s, co=co, k_valid=k_valid, tq=tq,
+                exact=bwd_exact, interpret=interpret)
         return (dg.astype(g.dtype), drf.astype(rf.dtype), dw.astype(w.dtype),
                 db2.astype(b2.dtype), dd.astype(d.dtype))
 
@@ -455,14 +602,16 @@ def _support_diff_fn(s, co, k_valid, tq, exact, interpret, theta_mxu=True,
 
 @functools.partial(jax.jit, static_argnames=("support_num", "out_channel", "tq",
                                              "exact", "interpret", "kmajor",
-                                             "theta_mxu", "bwd_exact"))
+                                             "theta_mxu", "bwd_exact",
+                                             "bwd_store"))
 def hs_support_reduce(gathered: jnp.ndarray, rf_norm: jnp.ndarray,
                       weights: jnp.ndarray, bias: jnp.ndarray, dirs: jnp.ndarray,
                       support_num: int, out_channel: int, tq: int = 0,
                       exact: bool = True, interpret: bool = False,
                       kmajor: bool = False,
                       theta_mxu: bool | None = None,
-                      bwd_exact: bool | None = None) -> jnp.ndarray:
+                      bwd_exact: bool | None = None,
+                      bwd_store: bool = False) -> jnp.ndarray:
     """``mean_s max_k relu(rf·dir_s)·(gathered @ W_s + b_s)`` per point.
 
     gathered (B, N, K, Cin), rf_norm (B, N, K, 3) — or (B, K, N, ·) when
@@ -488,7 +637,7 @@ def hs_support_reduce(gathered: jnp.ndarray, rf_norm: jnp.ndarray,
     g, k_pad, n_pad = _prep_kmajor(gathered, tq)
     rf, _, _ = _prep_kmajor(rf_norm, tq)
     fn = _support_diff_fn(support_num, out_channel, K, tq, exact, interpret,
-                          theta_mxu, bwd_exact)
+                          theta_mxu, bwd_exact, bwd_store)
     out = fn(g, rf, weights, bias.reshape(1, -1), dirs)
     return out[:, :N]
 

@@ -31,6 +31,7 @@ import subprocess
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
 
 HEADLINE = ["3D IoU at 25", "3D IoU at 50", "3D IoU at 75", "5 degree, 2cm",
             "5 degree, 5cm", "10 degree, 2cm", "10 degree, 5cm",
@@ -90,7 +91,8 @@ def parse_table(log_eval):
     # follow, so take the FIRST match of each metric
     table = {}
     for name in HEADLINE:
-        m = re.search(rf"^.*{re.escape(name)}: (-?[\d.]+|nan)$", text,
+        # anchor on "INFO <name>: " so '2cm' cannot match '5 degree, 2cm'
+        m = re.search(rf"INFO {re.escape(name)}: (-?[\d.]+|nan)$", text,
                       re.MULTILINE)
         table[name] = float(m.group(1)) if m else float("nan")
     return table

@@ -171,3 +171,55 @@ def test_bf16_mixed_precision_train_step(rng):
     leaves1 = jax.tree_util.tree_leaves(jax.device_get(state.params))
     assert all(l.dtype == np.float32 for l in leaves1)
     assert any(not np.allclose(a, b) for a, b in zip(leaves0, leaves1))
+
+
+class TestServeRelaxKnobs:
+    """Relaxed-KNN serving knobs (config.py serve_k / serve_rf_reuse): eval-only
+    semantic relaxations — same parameter tree, finite outputs, and training
+    semantics untouched (the knobs are read only when train=False)."""
+
+    def test_relaxed_eval_runs_on_shared_params(self, model_and_vars, cfg):
+        import dataclasses
+
+        model, variables = model_and_vars
+        pts = jnp.asarray(np.random.default_rng(5).normal(size=(2, N_PTS, 3)),
+                          jnp.float32)
+        obj_id = jnp.array([1, 3], jnp.int32)
+        base = eval_forward(model, variables["params"], variables["batch_stats"],
+                            jax.random.key(2), pts, obj_id)
+        for knobs in ({"serve_rf_reuse": True}, {"serve_k": 12},
+                      {"serve_k": 12, "serve_rf_reuse": True}):
+            m2 = build_model(cfg.replace(model=dataclasses.replace(
+                cfg.model, **knobs)))
+            out = eval_forward(m2, variables["params"], variables["batch_stats"],
+                               jax.random.key(2), pts, obj_id)
+            for name in ("p_green_R", "pred_T", "pred_s"):
+                v = np.asarray(getattr(out, name))
+                assert np.all(np.isfinite(v)), (knobs, name)
+            # the relaxation must actually change the graph's neighbourhoods
+            assert not np.allclose(np.asarray(out.p_green_R),
+                                   np.asarray(base.p_green_R), atol=1e-7), knobs
+
+    def test_train_forward_ignores_knobs(self, cfg, rng):
+        """train_forward with relaxation knobs set must equal the base train
+        forward bit-for-bit (reference training semantics preserved)."""
+        import dataclasses
+
+        model = build_model(cfg)
+        cfg2 = cfg.replace(model=dataclasses.replace(
+            cfg.model, serve_k=12, serve_rf_reuse=True))
+        model2 = build_model(cfg2)
+        pts = jnp.asarray(np.random.default_rng(3).normal(size=(2, N_PTS, 3)),
+                          jnp.float32)
+        obj_id = jnp.array([0, 4], jnp.int32)
+        variables = model.init(
+            {"params": jax.random.key(0), "pool": jax.random.key(1),
+             "dropout": jax.random.key(2)}, pts, obj_id, True)
+        rngs = {"pool": jax.random.key(7), "dropout": jax.random.key(8),
+                "aug": jax.random.key(9)}
+        out1, _ = model.apply(variables, pts, obj_id, True, rngs=rngs,
+                              mutable=["batch_stats"])
+        out2, _ = model2.apply(variables, pts, obj_id, True, rngs=rngs,
+                               mutable=["batch_stats"])
+        np.testing.assert_array_equal(np.asarray(out1[2][:, :, :16]),
+                                      np.asarray(out2[2][:, :, :16]))

@@ -87,6 +87,8 @@ class TestCustomVJP:
         return acc / s
 
     def test_support_grads_match_xla(self, rng):
+        import pytest  # noqa: F401
+
         B, N, K, Cin, S, Co = 2, 60, 6, 32, 3, 16
         gathered = jnp.asarray(rng.normal(size=(B, N, K, Cin)), jnp.float32)
         rf = rng.normal(size=(B, N, K, 3)).astype(np.float32)
@@ -96,18 +98,26 @@ class TestCustomVJP:
         d = jnp.asarray(rng.normal(size=(3, S * Co)), jnp.float32)
         cot = jnp.asarray(rng.normal(size=(B, N, Co)), jnp.float32)
 
-        def loss_kernel(g, r, w, b, d):
-            out = hs_support_reduce(g, r, w, b, d, S, Co, tq=32, interpret=True)
-            return jnp.sum(out * cot)
-
         def loss_xla(g, r, w, b, d):
             return jnp.sum(self._xla_support(g, r, w, b, d, S, Co) * cot)
 
-        got = jax.grad(loss_kernel, argnums=(0, 1, 2, 3, 4))(gathered, rf, w, b, d)
         want = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4))(gathered, rf, w, b, d)
-        for name, gk, gx in zip(["dg", "drf", "dw", "db", "dd"], got, want):
-            np.testing.assert_allclose(np.asarray(gk), np.asarray(gx), atol=2e-4,
-                                       err_msg=name)
+
+        # both backward variants: per-support recompute (default) and the
+        # stored-winner-values kernel (bwd_store, probe (c) — skips the
+        # theta/proj recomputes using forward-stored residuals)
+        for store in (False, True):
+            def loss_kernel(g, r, w, b, d, _s=store):
+                out = hs_support_reduce(g, r, w, b, d, S, Co, tq=32,
+                                        interpret=True, bwd_store=_s)
+                return jnp.sum(out * cot)
+
+            got = jax.grad(loss_kernel, argnums=(0, 1, 2, 3, 4))(
+                gathered, rf, w, b, d)
+            for name, gk, gx in zip(["dg", "drf", "dw", "db", "dd"], got, want):
+                np.testing.assert_allclose(
+                    np.asarray(gk), np.asarray(gx), atol=2e-4,
+                    err_msg=f"{name} (bwd_store={store})")
 
     def test_surface_grads_match_xla(self, rng):
         B, N, K, S, Co = 2, 50, 5, 4, 8
