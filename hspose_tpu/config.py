@@ -105,6 +105,13 @@ class ModelConfig:
     # the residual HBM traffic eats the FLOP saving.  Kept as a knob; numerics
     # are identical either way (same winner, same values).
     bwd_store: bool = False
+    # round-5 probe (d): route the POOLED-resolution layers (N<=512: conv_2/3
+    # at N//4, conv_4 at N//16, incl. their ORL branches) through the fused v4
+    # kernels during TRAINING — the in-kernel one-hot gather costs O(N·C) MXU
+    # work per gathered element, 4-16x smaller at the pooled sizes than at
+    # N=1028 where it loses (docs/PERFORMANCE.md "v4 kernels at train batch").
+    # Gradients flow through the v4 custom VJPs (grad-checked vs XLA).
+    train_v4_small: bool = False
     # debugging knob: route f32 TPU *inference* through the v3 pre-gathered
     # kernels (0-ULP HIGHEST gathers) instead of the default v4 fused kernels,
     # restoring bitwise reproducibility against pre-round-3 f32 eval outputs.

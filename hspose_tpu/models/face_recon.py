@@ -144,6 +144,7 @@ class FaceRecon(nn.Module):
         rf_1 = vert_idx_0 if rf_reuse else knn_indices(fm_0, k, fm_0_g)
         fm_1 = HSLayer(128, 128, cfg.gcn_sup_num, dtype=dtype,
                      bwd_exact=cfg.bwd_exact, bwd_store=cfg.bwd_store,
+                     train_v4_small=cfg.train_v4_small,
                      infer_v3=cfg.infer_v3, f32x2=f32x2, name="conv_1")(
             vertices, fm_0, rf_idx=rf_1, orl_idx=vert_idx_0, train=train,
             sp_axis=sp_axis, verts_src=verts_g, feat_src=fm_0_g)
@@ -165,6 +166,7 @@ class FaceRecon(nn.Module):
         rf_2 = knn_indices(fm_pool_1, k1, fmp1_g)
         fm_2 = HSLayer(128, 256, cfg.gcn_sup_num, dtype=dtype,
                      bwd_exact=cfg.bwd_exact, bwd_store=cfg.bwd_store,
+                     train_v4_small=cfg.train_v4_small,
                      infer_v3=cfg.infer_v3, f32x2=f32x2, name="conv_2")(
             v_pool_1, fm_pool_1, rf_idx=rf_2, orl_idx=vert_idx_1, train=train,
             sp_axis=sp_axis, verts_src=vp1_g, feat_src=fmp1_g)
@@ -175,6 +177,7 @@ class FaceRecon(nn.Module):
         rf_3 = rf_2 if rf_reuse else knn_indices(fm_2, k1, fm_2_g)
         fm_3 = HSLayer(256, 256, cfg.gcn_sup_num, dtype=dtype,
                      bwd_exact=cfg.bwd_exact, bwd_store=cfg.bwd_store,
+                     train_v4_small=cfg.train_v4_small,
                      infer_v3=cfg.infer_v3, f32x2=f32x2, name="conv_3")(
             v_pool_1, fm_2, rf_idx=rf_3, orl_idx=vert_idx_1, train=train,
             sp_axis=sp_axis, verts_src=vp1_g, feat_src=fm_2_g)
@@ -196,6 +199,7 @@ class FaceRecon(nn.Module):
         rf_4 = knn_indices(fm_pool_2, k2, fmp2_g)
         fm_4 = HSLayer(256, 512, cfg.gcn_sup_num, dtype=dtype,
                      bwd_exact=cfg.bwd_exact, bwd_store=cfg.bwd_store,
+                     train_v4_small=cfg.train_v4_small,
                      infer_v3=cfg.infer_v3, f32x2=f32x2, name="conv_4")(
             v_pool_2, fm_pool_2, rf_idx=rf_4, orl_idx=vert_idx_2, train=train,
             sp_axis=sp_axis, verts_src=vp2_g, feat_src=fmp2_g)

@@ -55,7 +55,8 @@ def _ag_points(x: jnp.ndarray, sp_axis: Optional[str]) -> jnp.ndarray:
 def orl_global(feature: jnp.ndarray, orl_idx: jnp.ndarray,
                fast: bool = False, train: bool = False,
                f32x2: bool = False,
-               sp_axis: Optional[str] = None) -> jnp.ndarray:
+               sp_axis: Optional[str] = None,
+               train_v4_small: bool = False) -> jnp.ndarray:
     """Outlier-robust global feature (gcn3d.get_ORL_global :211-218).
 
     KNN-max over each point's spatial neighbourhood, then a global mean broadcast
@@ -72,7 +73,9 @@ def orl_global(feature: jnp.ndarray, orl_idx: jnp.ndarray,
     map and the global mean is the pmean of the per-shard means (shards are
     equal-sized)."""
     src = _ag_points(feature, sp_axis)
-    if train is False and jax.devices()[0].platform == "tpu":
+    use_fused = (train is False
+                 or (train_v4_small and feature.shape[1] <= 512))
+    if use_fused and jax.devices()[0].platform == "tpu":
         from hspose_tpu.ops.pallas_hs_fused import orl_global_fused
 
         exact = False if fast else ("f32x2" if f32x2 else True)
@@ -204,6 +207,7 @@ class HSLayer(nn.Module):
     support_scan: bool = True
     bwd_exact: bool = False
     bwd_store: bool = False  # backward skips theta/proj recompute (probe c)
+    train_v4_small: bool = False  # v4 kernels for pooled-res training (probe d)
     infer_v3: bool = False  # debug: v3 pre-gathered kernels for f32 inference
     f32x2: bool = False  # serving tier: 2-term feature splits (~1.5e-5) in v4 kernels
 
@@ -236,9 +240,16 @@ class HSLayer(nn.Module):
         dir_norm = dir_norm.astype(self.dtype)
 
         on_tpu = jax.devices()[0].platform == "tpu"
-        if self.support_scan and on_tpu and not train and not self.infer_v3:
-            # inference: fully-fused v4 kernel (in-kernel gather + rf); exact
-            # split-gather + bf16x3 when f32, one-pass bf16 in fast mode
+        # probe (d): at the pooled resolutions the v4 in-kernel gather's
+        # O(N·C) one-hot cost is 4-16x smaller than at N=1028 — route
+        # training through the (differentiable) v4 kernels when asked
+        v4_train = (train and self.train_v4_small
+                    and vertices.shape[1] <= 512)
+        if (self.support_scan and on_tpu and not self.infer_v3
+                and (not train or v4_train)):
+            # inference (and v4_train): fully-fused v4 kernel (in-kernel
+            # gather + rf); exact split-gather + bf16x3 when f32, one-pass
+            # bf16 in fast mode
             from hspose_tpu.ops.pallas_hs_fused import hs_support_fused
 
             feature_center = (feature_map.astype(self.dtype)
@@ -322,7 +333,8 @@ class HSLayer(nn.Module):
         f_global = orl_global(feature.astype(self.dtype), orl_idx,
                               fast=self.dtype == jnp.bfloat16,
                               train=train or self.infer_v3, f32x2=self.f32x2,
-                              sp_axis=sp_axis)
+                              sp_axis=sp_axis,
+                              train_v4_small=self.train_v4_small)
         fused = jnp.concatenate(
             [feature.astype(self.dtype),
              jnp.broadcast_to(f_global, feature.shape[:2] + f_global.shape[-1:])],

@@ -69,6 +69,10 @@ def main():
         ("base", cfg0),
         ("bwd_store", cfg0.replace(model=dataclasses.replace(
             cfg0.model, bwd_store=True))),
+        ("v4_small", cfg0.replace(model=dataclasses.replace(
+            cfg0.model, train_v4_small=True))),
+        ("store+v4", cfg0.replace(model=dataclasses.replace(
+            cfg0.model, bwd_store=True, train_v4_small=True))),
     ]
     print(f"train-step variant probe  batch={bs} dtype={dtype}", flush=True)
     base_ms = None
