@@ -97,14 +97,14 @@ class ModelConfig:
     # one bf16 MXU pass per matmul (~13 ms/step faster; bf16-grade gradient
     # noise, sanity-verified); True keeps bf16x3 f32-faithful gradients
     bwd_exact: bool = False
-    # support-kernel backward variant: the forward stores the winner's
-    # theta/proj values (2 extra (B, N, S·Co) f32 residuals) and the backward
-    # skips both recomputes — one fewer big MXU pass per support.  Measured a
-    # WASH at the bf16 batch-24 optimum (round-5 probe (c),
-    # docs/PERFORMANCE.md): the recompute overlaps the cotangent matmuls and
-    # the residual HBM traffic eats the FLOP saving.  Kept as a knob; numerics
-    # are identical either way (same winner, same values).
-    bwd_store: bool = False
+    # support-kernel backward variant (round-5 probe (c), the adopted
+    # default): the forward stores the winner's theta/proj values (2 extra
+    # (B, N, S·Co) f32 residuals) and the backward skips both recomputes —
+    # one fewer big MXU pass per support.  Measured at the bf16 batch-24
+    # optimum: 50.7 -> 48.8 ms/step (-3.8%), loss bit-identical to the
+    # recompute backward (same winner, same values — the forward computed
+    # them).  False restores the recompute backward (no residual HBM).
+    bwd_store: bool = True
     # round-5 probe (d): route the POOLED-resolution layers (N<=512: conv_2/3
     # at N//4, conv_4 at N//16, incl. their ORL branches) through the fused v4
     # kernels during TRAINING — the in-kernel one-hot gather costs O(N·C) MXU

@@ -54,17 +54,21 @@ def _pad_axis(x, n, axis):
     return jnp.pad(x, widths)
 
 
-def _pick_tq(tq_req: int, k_pad: int, cin: int, co: int, s_co: int) -> int:
+def _pick_tq(tq_req: int, k_pad: int, cin: int, co: int, s_co: int,
+             extra_q_bytes: int = 0) -> int:
     """Largest tq ≤ tq_req (multiple of 8) whose temporaries fit the VMEM budget.
 
     The rolled support loop keeps (rows, Co) temporaries only: per row we hold the
     gathered tile + its bf16 hi/lo splits (cin·8), ~4 live (rows, co) f32 arrays
     (theta/proj/prod/acc) and the lane-padded rf tile (512 B); plus the full
-    weight matrix once."""
+    weight matrix once.  ``extra_q_bytes``: additional per-QUERY-row bytes for
+    optional output blocks (e.g. the bwd_store twin/pwin residuals, which
+    Mosaic double-buffers)."""
     tq = max(8, (tq_req // 8) * 8)
     while tq > 8:
         rows = tq * k_pad
-        bytes_needed = rows * (cin * 8 + co * 16 + 512) + cin * s_co * 4
+        bytes_needed = (rows * (cin * 8 + co * 16 + 512) + cin * s_co * 4
+                        + tq * extra_q_bytes)
         if bytes_needed <= _VMEM_BUDGET:
             break
         tq -= 8
@@ -76,7 +80,19 @@ def _pick_tq_bwd(tq_fwd: int, n_pad: int, k_pad: int, cin: int, co: int,
     """Backward tile: the largest multiple-of-8 divisor of n_pad (≤ forward tq)
     that fits the bwd footprint (per row: g + dg + bf16 splits ≈ cin·12, ~6 live
     (rows, co) f32 temporaries ≈ co·24, rf/drf ≈ 512 B; fixed: W and dW once
-    each).  Mosaic requires the sublane block dim be a multiple of 8."""
+    each).  Mosaic requires the sublane block dim be a multiple of 8.
+
+    Probe override: ``HSPOSE_BWD_TQ=<n_pad>:<tq>[,<n_pad>:<tq>…]`` forces the
+    tile for matching n_pad values — the in-step tile-sweep hook (isolated
+    kernel calls are dispatch-dominated on the tunneled rig, so sweeps run
+    through the full train step)."""
+    import os
+    override = os.environ.get("HSPOSE_BWD_TQ")
+    if override:
+        for part in override.split(","):
+            np_s, tq_s = part.split(":")
+            if int(np_s) == n_pad:
+                return int(tq_s)
     best = 8
     # tighter budget than the forward: Mosaic double-buffers the in/out blocks
     # (dg/drf/gbar), which the per-row estimate doesn't see — measured ~25% over
@@ -633,7 +649,15 @@ def hs_support_reduce(gathered: jnp.ndarray, rf_norm: jnp.ndarray,
     B, K, N, Cin = gathered.shape
     s_co = support_num * out_channel
     k_pad = ((K + _K_ALIGN - 1) // _K_ALIGN) * _K_ALIGN
-    tq = _pick_tq(tq, k_pad, Cin, out_channel, s_co)
+    # bwd_store's twin/pwin residual blocks live in VMEM too (f32, (tq, s_co)
+    # each) alongside the win block (i32), all double-buffered by Mosaic.
+    # Only the EXACT forward overflows with them (bf16 splits + bf16x3
+    # temporaries push it over the 16 MB scoped limit by 1.6 MB at conv_1's
+    # tq=128; measured) — shrink its tile to 112.  The bf16 forward fits at
+    # 128, and shrinking it costs the whole bwd_store win (measured: -3.8%
+    # at tq=128 vs -0.2% at tq=112), so it keeps the unshrunk pick.
+    tq = _pick_tq(tq, k_pad, Cin, out_channel, s_co,
+                  extra_q_bytes=s_co * 28 if (bwd_store and exact) else 0)
     g, k_pad, n_pad = _prep_kmajor(gathered, tq)
     rf, _, _ = _prep_kmajor(rf_norm, tq)
     fn = _support_diff_fn(support_num, out_channel, K, tq, exact, interpret,
