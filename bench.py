@@ -211,6 +211,14 @@ def main():
     cfg_x2 = cfg.replace(model=dataclasses.replace(cfg.model,
                                                    compute_dtype="f32x2"))
     f32x2_crops_per_sec = measure_inference(cfg_x2, B=B, iters=80)
+    # opt-in relaxed-KNN tier: serve_k=16 measured INSIDE the 0.3-pt mAP
+    # budget on the trained easy-pose probe model (worst |delta| 0.27 pts,
+    # scripts/fast_mode_parity.py --easy; k=12 and rf_reuse are OUTSIDE and
+    # rejected — docs/PERFORMANCE.md round-5 serving probe).  Reference
+    # semantics (k=20) stay the default.
+    cfg_k16 = cfg.replace(model=dataclasses.replace(
+        cfg.model, compute_dtype="bfloat16", serve_k=16))
+    fast_k16_crops_per_sec = measure_inference(cfg_k16, B=B, iters=160)
     train_step_ms = measure_train_step(cfg)
     # bf16 mixed-precision training (f32 params/losses/Ranger; sanity-verified
     # — docs/PERFORMANCE.md): the large-scale option, f32 stays the default
@@ -240,6 +248,7 @@ def main():
         "serve_batch": B,
         "exact_crops_per_sec": round(exact_crops_per_sec, 1),
         "f32x2_crops_per_sec": round(f32x2_crops_per_sec, 1),
+        "fast_k16_crops_per_sec": round(fast_k16_crops_per_sec, 1),
         "train_step_ms": round(train_step_ms, 1),
         "train_step_bf16_ms": round(train_step_bf16_ms, 1),
         "train_samples_per_sec": round(train_samples_per_sec, 1),

@@ -232,7 +232,9 @@ def main(steps=2500, easy=False):
         # semantic relaxations, so they face the same 0.3-pt budget
         for name, knobs in [("bf16+rfre", {"serve_rf_reuse": True}),
                             ("bf16+k16", {"serve_k": 16}),
-                            ("bf16+k12", {"serve_k": 12})]:
+                            ("bf16+k12", {"serve_k": 12}),
+                            ("bf16+k12r", {"serve_k": 12,
+                                           "serve_rf_reuse": True})]:
             m = build_model(cfg.replace(model=dataclasses.replace(
                 cfg.model, compute_dtype="bfloat16", **knobs)))
             tables.append((name, map_table(m, state.params, state.batch_stats,
@@ -258,11 +260,19 @@ def main(steps=2500, easy=False):
           f"(budget {HEADLINE_BUDGET_PTS})", flush=True)
     if easy:
         # the study only tests the tight bins if the probe model puts real
-        # mass there (VERDICT r4 weak-point 2: a near-empty 5d2cm bin deflates
-        # deltas by construction)
-        mass_ok = table_f32["5d2cm"] >= 20.0
-        print(f"5d2cm mass: {table_f32['5d2cm']:.1f} AP "
-              f"({'OK' if mass_ok else 'BELOW the 20-pt bar'})", flush=True)
+        # mass there (round-4 verdict weak-point: a near-empty 5d2cm bin
+        # deflates deltas by construction).  The study populates ONE class
+        # (make_batch labels every crop 'can'), so the 6-class-mean AP is
+        # capped at 100/6 = 16.67 — measure mass RELATIVE to the study's own
+        # ceiling (IoU25, which every crop of a trained model reaches):
+        # >= 60% of ceiling means the bin carries the decisive majority of
+        # crops, i.e. tier deltas there are fully load-bearing.
+        ceiling = max(table_f32["IoU25"], 1e-9)
+        mass = table_f32["5d2cm"] / ceiling * 100.0
+        mass_ok = mass >= 60.0
+        print(f"5d2cm mass: {table_f32['5d2cm']:.2f} AP = {mass:.0f}% of the "
+              f"study ceiling {ceiling:.2f} "
+              f"({'OK' if mass_ok else 'BELOW the 60% bar'})", flush=True)
         map_ok = map_ok and mass_ok
     print("FAST-MODE PARITY", "PASS" if (ok and map_ok) else "FAIL", flush=True)
     return ok and map_ok
